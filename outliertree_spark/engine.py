@@ -1,0 +1,311 @@
+"""SparkOutlierTree: the PySpark-facing validation engine.
+
+Architecture (SURVEY.md section 7): the conditioning-tree fit runs once on
+a bounded deterministic sample collected to the driver (the reference is a
+single-node in-memory fit; our fit sample is capped by
+``config.max_fit_rows``), the fitted constraint structs are broadcast as
+compact dicts, and the *validate* path scales out: a flaggable-bounds
+pre-filter expressed as Catalyst predicates (pushed down to the scan) plus
+one Arrow-vectorized ``mapInPandas`` pass for tree routing.  No per-row
+Python anywhere: batches are NumPy masks end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .config import ValidationConfig
+from .model import attach_conditions, flaggable_values, model_from_json, model_to_json
+from .operators.fit import fit_arrays
+from .operators.predict import predict_batch
+from .report import render_violation
+from .schema import (
+    build_model_schema,
+    infer_kinds,
+    pandas_to_fit_columns,
+    pandas_to_predict_arrays,
+)
+
+VIOLATION_FIELDS = [
+    T.StructField("suspicious_column", T.StringType()),
+    T.StructField("suspicious_value", T.StringType()),
+    T.StructField("suspicious_value_num", T.DoubleType()),
+    T.StructField("group_statistics", T.StringType()),
+    T.StructField("conditions", T.StringType()),
+    T.StructField("tree_depth", T.LongType()),
+    T.StructField("uses_NA_branch", T.BooleanType()),
+    T.StructField("outlier_score", T.DoubleType()),
+    T.StructField("explanation", T.StringType()),
+]
+
+
+def _group_statistics_dict(model: dict, cm: dict, cl: dict, value) -> dict:
+    if cm["kind"] == "numeric":
+        if value >= cl["upper_lim"]:
+            return {"upper_thr": cl["display_lim_high"], "pct_below": cl["perc_below"],
+                    "mean": cl["display_mean"], "sd": cl["display_sd"],
+                    "n_obs": cl["cluster_size"]}
+        return {"lower_thr": cl["display_lim_low"], "pct_above": cl["perc_above"],
+                "mean": cl["display_mean"], "sd": cl["display_sd"],
+                "n_obs": cl["cluster_size"]}
+    levels = cm["levels"]
+    code = levels.index(value) if value in levels else -1
+    prior = cm["prior_prob"][code] if 0 <= code < len(cm["prior_prob"]) else 0.0
+    if model["config"]["categ_outliers"] == "majority" and cl.get("categ_maj", -1) >= 0:
+        return {"categ_maj": str(levels[cl["categ_maj"]]),
+                "pct_common": cl["perc_in_subset"], "prior_prob": prior,
+                "n_obs": cl["cluster_size"]}
+    if cm.get("is_bool"):
+        return {"pct_other": 1.0 - cl["perc_in_subset"], "prior_prob": prior,
+                "n_obs": cl["cluster_size"]}
+    common = [str(levels[i]) for i, s in enumerate(cl["subset_common"] or []) if s == 0]
+    return {"categs_common": common, "pct_common": cl["perc_in_subset"],
+            "pct_next_most_comm": cl["perc_next_most_comm"],
+            "prior_prob": prior, "n_obs": cl["cluster_size"]}
+
+
+def _violations_from_batch(model: dict, pdf: pd.DataFrame,
+                           id_cols: list[str]) -> pd.DataFrame:
+    data = pandas_to_predict_arrays(pdf, model)
+    res = predict_batch(model, data)
+    rows = np.flatnonzero(res.score < 1.0)
+    out = {c: [] for c in id_cols}
+    cols = {f.name: [] for f in VIOLATION_FIELDS}
+    for r in rows:
+        cm = model["columns"][res.col[r]]
+        cl = cm["clusters"][res.cluster[r]]
+        name = cm["name"]
+        raw = pdf[name].iloc[int(r)]
+        if cm["kind"] == "numeric":
+            if cm.get("is_ts"):
+                enc_val = float(data[name][r])
+                disp = str(raw)
+                num_val = enc_val + cm["ts_min"]
+            else:
+                enc_val = float(data[name][r])
+                disp = repr(enc_val)
+                num_val = enc_val
+            gs = _group_statistics_dict(model, cm, cl, enc_val)
+            value_for_render = enc_val
+        else:
+            lev_code = int(data[name][r])
+            value_for_render = cm["levels"][lev_code] if 0 <= lev_code < len(cm["levels"]) else raw
+            disp = str(value_for_render)
+            num_val = None
+            gs = _group_statistics_dict(model, cm, cl, value_for_render)
+        value_this = {c: pdf[c].iloc[int(r)] for c in pdf.columns}
+        row_label = pdf[id_cols[0]].iloc[int(r)] if id_cols else int(r)
+        try:
+            expl = render_violation(model, cm, cl, row_label, value_for_render,
+                                    value_this)
+        except Exception as e:  # formatting must never kill the job
+            expl = f"<render error: {e}>"
+        for c in id_cols:
+            out[c].append(pdf[c].iloc[int(r)])
+        cols["suspicious_column"].append(name)
+        cols["suspicious_value"].append(disp)
+        cols["suspicious_value_num"].append(num_val)
+        cols["group_statistics"].append(json.dumps(gs, default=str))
+        cols["conditions"].append(json.dumps(cl.get("conditions") or [], default=str))
+        cols["tree_depth"].append(int(res.depth[r]))
+        cols["uses_NA_branch"].append(bool(res.nab[r]))
+        cols["outlier_score"].append(float(res.score[r]))
+        cols["explanation"].append(expl)
+    out.update(cols)
+    return pd.DataFrame(out)
+
+
+class SparkOutlierTree:
+    """Explainable outlier / constraint validation engine on Spark.
+
+    ``fit`` derives the constraints (conditioning trees + cluster bounds)
+    from a deterministic sample; ``predict`` / ``validate`` apply them to
+    arbitrarily large DataFrames.
+    """
+
+    def __init__(self, config: ValidationConfig | None = None):
+        self.config = config or ValidationConfig()
+        self.model_: dict | None = None
+
+    # ------------------------------------------------------------------
+    def fit(self, df: DataFrame, cols_ignore: list[str] | None = None,
+            ordinal_cols: dict[str, list] | None = None,
+            id_cols: list[str] | None = None,
+            n_rows: int | None = None) -> "SparkOutlierTree":
+        cfg = self.config
+        ignore = set(cols_ignore or []) | set(id_cols or [])
+        kinds = infer_kinds(df.dtypes, ordinal_cols, ignore)
+        fit_names = [c for c, k in kinds.items() if k != "drop"]
+        if not fit_names:
+            raise ValueError("no usable columns to fit on")
+        sdf = df.select(*fit_names)
+        if n_rows is None:
+            n_rows = sdf.count()
+        if n_rows > cfg.max_fit_rows:
+            frac = min(1.0, cfg.max_fit_rows / float(n_rows))
+            sdf = sdf.sample(fraction=frac, seed=cfg.seed)
+        pdf = sdf.toPandas()
+        cols = pandas_to_fit_columns(pdf, kinds, ordinal_cols)
+        model = fit_arrays(cols, cfg)
+        model["schema"] = build_model_schema(cols)
+        model["predictor_levels"] = {c.name: c.levels for c in cols
+                                     if c.levels is not None}
+        attach_conditions(model)
+        self.model_ = model
+        return self
+
+    # ------------------------------------------------------------------
+    def prefilter_expr(self, df: DataFrame):
+        """Catalyst predicate selecting rows that could possibly be flagged.
+
+        This is C8 (clusters.cpp:1073-1091) as a pushed-down scan filter:
+        at 100 TB this is the difference between scanning everything into
+        Python and letting parquet min/max pruning discard clean data."""
+        assert self.model_ is not None
+        terms = []
+        df_cols = set(df.columns)
+        for cm in self.model_["columns"]:
+            name = cm["name"]
+            if name not in df_cols:
+                continue
+            if cm["kind"] == "numeric":
+                lo, hi = cm["min_outlier_any"], cm["max_outlier_any"]
+                col = F.col(name)
+                if cm.get("is_ts"):
+                    col = F.unix_timestamp(F.col(name)).cast("double") - F.lit(cm["ts_min"])
+                t = None
+                if math.isfinite(lo):
+                    t = col <= F.lit(lo)
+                if math.isfinite(hi):
+                    t = (col >= F.lit(hi)) if t is None else (t | (col >= F.lit(hi)))
+                if t is not None:
+                    terms.append(t)
+            else:
+                flaggable = [lev for lev, f in zip(cm["levels"], cm["cat_outlier_any"]) if f]
+                if flaggable:
+                    terms.append(F.col(name).isin(flaggable))
+        if not terms:
+            return F.lit(False)
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr | t
+        return expr
+
+    # ------------------------------------------------------------------
+    def predict(self, df: DataFrame, id_cols: list[str] | None = None,
+                prefilter: bool = True) -> DataFrame:
+        """Violation rows for every flaggable row of ``df`` (B8 schema)."""
+        assert self.model_ is not None, "call fit() first"
+        model = self.model_
+        id_cols = id_cols or []
+        needed = list(dict.fromkeys(
+            id_cols + [c for c in model["schema"] if c in df.columns]))
+        sdf = df.select(*needed)
+        if prefilter:
+            sdf = sdf.filter(self.prefilter_expr(df))
+
+        spark = df.sparkSession
+        from .deploy import ensure_package_on_executors
+        ensure_package_on_executors(spark)
+        bc = spark.sparkContext.broadcast(model_to_json(model))
+        id_fields = [df.schema[c] for c in id_cols]
+        out_schema = T.StructType(id_fields + VIOLATION_FIELDS)
+
+        def run(iterator):
+            m = model_from_json(bc.value)
+            for pdf in iterator:
+                if len(pdf) == 0:
+                    continue
+                res = _violations_from_batch(m, pdf, id_cols)
+                if len(res):
+                    yield res
+
+        return sdf.mapInPandas(run, schema=out_schema)
+
+    # ------------------------------------------------------------------
+    def validate(self, df: DataFrame, partition_col: str,
+                 id_cols: list[str] | None = None,
+                 max_violation_rate: float | None = None) -> tuple[DataFrame, DataFrame]:
+        """(violations, per-partition verdicts).
+
+        Verdicts: one row per value of ``partition_col`` with row count,
+        violation count, rate, and pass/fail — pure Catalyst aggregation."""
+        rate = max_violation_rate if max_violation_rate is not None \
+            else self.config.pct_outliers
+        id_cols = list(dict.fromkeys([partition_col] + (id_cols or [])))
+        viols = self.predict(df, id_cols=id_cols)
+        totals = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
+        vcnt = viols.groupBy(partition_col).agg(
+            F.count(F.lit(1)).alias("n_violations"))
+        verdicts = (
+            totals.join(vcnt, partition_col, "left")
+            .withColumn("n_violations", F.coalesce("n_violations", F.lit(0)))
+            .withColumn("violation_rate", F.col("n_violations") / F.col("n_rows"))
+            .withColumn("passed", F.col("violation_rate") <= F.lit(rate))
+        )
+        return viols, verdicts
+
+    # ------------------------------------------------------------------
+    def flaggable_values(self) -> dict:
+        assert self.model_ is not None
+        return flaggable_values(self.model_)
+
+    def save(self, path: str) -> None:
+        assert self.model_ is not None
+        with open(path, "w") as f:
+            f.write(model_to_json(self.model_))
+
+    @classmethod
+    def load(cls, path: str) -> "SparkOutlierTree":
+        with open(path) as f:
+            model = model_from_json(f.read())
+        eng = cls(ValidationConfig.from_dict(model["config"]))
+        eng.model_ = model
+        return eng
+
+
+class CheckpointLedger:
+    """Per-partition resume ledger: JSON-lines of verdict + stats + lineage.
+
+    At 10^12 rows a validation run is restartable: completed partitions are
+    recorded with their verdict and skipped on resume."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def done_partitions(self) -> set:
+        done = set()
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        done.add(json.loads(line)["partition"])
+        return done
+
+    def record(self, partition, verdict: dict, lineage: dict | None = None) -> None:
+        entry = {"partition": partition, "ts": time.time(),
+                 "verdict": verdict, "lineage": lineage or {}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry, default=str) + "\n")
+
+    def filter_remaining(self, df: DataFrame, partition_col: str) -> DataFrame:
+        done = self.done_partitions()
+        if not done:
+            return df
+        return df.filter(~F.col(partition_col).isin(list(done)))
+
+    def record_verdicts(self, verdicts: DataFrame, partition_col: str,
+                        lineage: dict | None = None) -> None:
+        for row in verdicts.collect():
+            d = row.asDict()
+            part = d.pop(partition_col)
+            self.record(part, d, lineage)

@@ -1,0 +1,221 @@
+"""Human-readable explanation rendering (the reference's load-bearing
+output: README.md pins these strings byte-for-byte).
+
+Formats follow the reference Python binding exactly:
+- row block format: __init__.py:785-969 (print_outliers)
+- condition simplification: __init__.py:980-1067 (_simplify_condition)
+- dynamic decimals: src/misc.cpp:640-681
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timezone
+
+from .functions.stats import decimals_diff
+
+
+def simplify_conditions(conditions: list[dict]) -> list[dict]:
+    """Merge repeated per-column conditions (B5, __init__.py:980-1067):
+    two '<=' -> min; '<=' + '>' -> between; intersect 'in' sets; singleton
+    'in' -> '='; then reverse order (root-most first)."""
+    by_col: dict[str, list[dict]] = {}
+    order: list[str] = []
+    for c in conditions:
+        if c["column"] not in by_col:
+            by_col[c["column"]] = []
+            order.append(c["column"])
+        by_col[c["column"]].append(c)
+
+    out: list[dict] = []
+    for col in order:
+        conds = by_col[col]
+        if len(conds) == 1:
+            out.append(dict(conds[0]))
+            continue
+        is_na = [c for c in conds if c["comparison"] == "is NA"]
+        if is_na:
+            out.append(dict(is_na[0]))
+            continue
+        les = [c for c in conds if c["comparison"] == "<="]
+        gts = [c for c in conds if c["comparison"] == ">"]
+        ins = [c for c in conds if c["comparison"] == "in"]
+        eqs = [c for c in conds if c["comparison"] in ("=", "!=")]
+        merged = None
+        if les and gts:
+            lo = max(g["value_comp"] for g in gts)
+            hi = min(l["value_comp"] for l in les)
+            merged = dict(les[0])
+            merged["comparison"] = "between"
+            merged["value_comp"] = (lo, hi)
+        elif les:
+            merged = dict(les[0])
+            merged["value_comp"] = min(l["value_comp"] for l in les)
+        elif gts:
+            merged = dict(gts[0])
+            merged["value_comp"] = max(g["value_comp"] for g in gts)
+        elif ins:
+            sets = [list(c["value_comp"]) for c in ins]
+            inter = [v for v in sets[0] if all(v in s for s in sets[1:])]
+            merged = dict(ins[0])
+            if len(inter) == 1:
+                merged["comparison"] = "="
+                merged["value_comp"] = inter[0]
+            else:
+                merged["comparison"] = "in"
+                merged["value_comp"] = inter
+        elif eqs:
+            merged = dict(eqs[0])
+        if merged is not None:
+            out.append(merged)
+    # singleton 'in' -> '='
+    for c in out:
+        if c["comparison"] == "in" and isinstance(c["value_comp"], (list, tuple)) \
+                and len(c["value_comp"]) == 1:
+            c["comparison"] = "="
+            c["value_comp"] = c["value_comp"][0]
+    out.reverse()
+    return out
+
+
+def _fmt_ts(seconds: float) -> str:
+    return datetime.fromtimestamp(int(seconds), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S")
+
+
+def _is_num_col(model: dict, col: str) -> bool:
+    info = model["schema"].get(col)
+    return info is not None and info["kind"] in ("numeric", "timestamp")
+
+
+def render_violation(model: dict, cm: dict, cluster: dict, row_label,
+                     value, value_this_by_col: dict,
+                     min_decimals: int = 2) -> str:
+    """Render one flagged row in the reference's report format."""
+    lines = []
+    name = cm["name"]
+    is_ts = cm.get("is_ts")
+
+    # dynamic decimals (src/misc.cpp:640-669)
+    dec = min_decimals
+    if cm["kind"] == "numeric" and not is_ts:
+        d = max(0, decimals_diff(value, cluster["display_mean"]))
+        comp = cluster["display_lim_high"] if value >= cluster["upper_lim"] \
+            else cluster["display_lim_low"]
+        d = max(d, decimals_diff(value, comp))
+        dec = max(min_decimals, d)
+
+    if cm["kind"] == "numeric":
+        if is_ts:
+            shown = _fmt_ts(value + cm["ts_min"])
+            lines.append(f"row [{row_label}] - suspicious column: [{name}] - "
+                         f"suspicious value: [{shown}]")
+        else:
+            lines.append(f"row [{row_label}] - suspicious column: [{name}] - "
+                         f"suspicious value: [{value:.{dec}f}]")
+        if value >= cluster["upper_lim"]:
+            pct = cluster["perc_below"] * 100
+            thr = cluster["display_lim_high"]
+            if is_ts:
+                grp = f"\tdistribution: {pct:.3f}% <= [{_fmt_ts(thr + cm['ts_min'])}]"
+            else:
+                grp = f"\tdistribution: {pct:.3f}% <= {thr:.{dec}f}"
+        else:
+            pct = cluster["perc_above"] * 100
+            thr = cluster["display_lim_low"]
+            if is_ts:
+                grp = f"\tdistribution: {pct:.3f}% >= [{_fmt_ts(thr + cm['ts_min'])}]"
+            else:
+                grp = f"\tdistribution: {pct:.3f}% >= {thr:.{dec}f}"
+        if is_ts:
+            grp += (f" - [mean: {_fmt_ts(cluster['display_mean'] + cm['ts_min'])}]"
+                    f" - [norm. obs: {cluster['cluster_size']}]")
+        else:
+            grp += (f" - [mean: {cluster['display_mean']:.{dec}f}]"
+                    f" - [sd: {cluster['display_sd']:.{dec}f}]"
+                    f" - [norm. obs: {cluster['cluster_size']}]")
+        lines.append(grp)
+    else:
+        levels = cm["levels"]
+        lines.append(f"row [{row_label}] - suspicious column: [{name}] - "
+                     f"suspicious value: [{value}]")
+        conds_n = len(cluster.get("conditions") or [])
+        if cm.get("is_bool"):
+            pct_other = (1.0 - cluster["perc_in_subset"]) * 100
+            grp = (f"\tdistribution: {pct_other:.3f}% different "
+                   f"[norm. obs: {cluster['cluster_size']}]")
+            if conds_n > 0:
+                code = levels.index(value) if value in levels else -1
+                prior = cm["prior_prob"][code] if code >= 0 else 0.0
+                grp += f" - [prior_prob: {prior * 100:.3f}%]"
+            lines.append(grp)
+        elif cluster.get("categ_maj", -1) >= 0 and model["config"]["categ_outliers"] == "majority":
+            maj = levels[cluster["categ_maj"]]
+            grp = f"\tdistribution: {cluster['perc_in_subset'] * 100:.3f}% = [{maj}]"
+            code = levels.index(value) if value in levels else -1
+            prior = cm["prior_prob"][code] if code >= 0 else 0.0
+            grp += (f"\n\t( [norm. obs: {cluster['cluster_size']}] - "
+                    f"[prior_prob: {prior * 100:.3f}%] )")
+            lines.append(grp)
+        else:
+            common = [levels[i] for i, s in enumerate(cluster["subset_common"] or [])
+                      if s == 0]
+            pct_common = cluster["perc_in_subset"] * 100
+            if len(common) == 1:
+                grp = f"\tdistribution: {pct_common:.3f}% = [{common[0]}]"
+            else:
+                grp = f"\tdistribution: {pct_common:.3f}% in [{', '.join(str(c) for c in common)}]"
+            code = levels.index(value) if value in levels else -1
+            prior = cm["prior_prob"][code] if code >= 0 else 0.0
+            nmc = cluster["perc_next_most_comm"] * 100
+            if conds_n > 0:
+                grp += (f"\n\t( [norm. obs: {cluster['cluster_size']}] - "
+                        f"[prior_prob: {prior * 100:.3f}%] - "
+                        f"[next smallest: {nmc:.3f}%] )")
+            else:
+                grp += (f"\n\t( [norm. obs: {cluster['cluster_size']}] - "
+                        f"[next smallest: {nmc:.3f}%] )")
+            lines.append(grp)
+
+    conds = cluster.get("conditions") or []
+    if conds:
+        conds = simplify_conditions(conds)
+        ln = "\tgiven:"
+        for cond in conds:
+            col = cond["column"]
+            comp = cond["comparison"]
+            vc = cond["value_comp"]
+            vt = value_this_by_col.get(col)
+            cdec = max(min_decimals,
+                       decimals_diff(vt, vc) if (_is_num_col(model, col)
+                                                 and isinstance(vt, (int, float))
+                                                 and isinstance(vc, (int, float)))
+                       else 0)
+            if comp == "is NA":
+                ln += f"\n\t\t[{col}] is NA"
+            elif comp == "<=":
+                if _is_num_col(model, col):
+                    ln += f"\n\t\t[{col}] <= [{vc:.{cdec}f}] (value: {vt:.{cdec}f})"
+                else:
+                    ln += f"\n\t\t[{col}] <= [{vc}] (value: {vt})"
+            elif comp == ">":
+                if _is_num_col(model, col):
+                    ln += f"\n\t\t[{col}] > [{vc:.{cdec}f}] (value: {vt:.{cdec}f})"
+                else:
+                    ln += f"\n\t\t[{col}] > [{vc}] (value: {vt})"
+            elif comp == "between":
+                lo, hi = vc
+                if _is_num_col(model, col):
+                    ln += (f"\n\t\t[{col}] between ({lo:.{cdec}f}, {hi:.{cdec}f}]"
+                           f" (value: {vt:.{cdec}f})")
+                else:
+                    ln += f"\n\t\t[{col}] between ({lo}, {hi}] (value: {vt})"
+            elif comp == "=":
+                ln += f"\n\t\t[{col}] = [{vc}]"
+            elif comp == "!=":
+                ln += f"\n\t\t[{col}] != [{vc}] (value: {vt})"
+            elif comp == "in":
+                ln += (f"\n\t\t[{col}] in [{', '.join(str(v) for v in vc)}]"
+                       f" (value: {vt})")
+        lines.append(ln)
+    return "\n".join(lines)

@@ -1,0 +1,121 @@
+"""Spark end-to-end: fit -> broadcast -> prefilter -> mapInPandas predict
+-> per-partition verdicts, on a synthetic Common-Crawl-style documents
+table with planted violations (FIXTURES.md F1)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = np.random.RandomState(42)
+    n = 4000
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    # every regular lang must clear the rare-rule's 250-count floor
+    # (cat_outlier.cpp:295: next-most-common >= 250)
+    lang = langs[rng.choice(5, size=n, p=[0.4, 0.25, 0.15, 0.1, 0.1])]
+    # text length log-normal conditioned on lang
+    mu = {"en": 5.0, "de": 5.5, "fr": 6.0, "es": 6.5, "zh": 4.0}
+    tl = np.array([rng.lognormal(mu[l], 0.3) for l in lang])
+    # planted: row 7 has ~100x the conditional norm for its lang
+    lang[7] = "zh"
+    tl[7] = float(np.exp(4.0)) * 120.0
+    # planted ultra-rare lang (count 1, n>=1000 rule)
+    lang[11] = "xx"
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "lang": lang,
+        "text_len": tl,
+        "bucket": np.arange(n) % 8,
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_fit_predict_flags_planted_rows(spark, docs_df):
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    names = [c["name"] for c in eng.model_["columns"]]
+    assert "text_len" in names
+
+    viols = eng.predict(docs_df, id_cols=["doc_id"]).toPandas()
+    flagged = set(viols["doc_id"])
+    assert 7 in flagged     # conditional numeric outlier
+    assert 11 in flagged    # unconditional rare category
+    row7 = viols[viols.doc_id == 7].iloc[0]
+    assert row7["suspicious_column"] == "text_len"
+    assert row7["outlier_score"] < 0.1
+    row11 = viols[viols.doc_id == 11].iloc[0]
+    assert row11["suspicious_column"] == "lang"
+    assert row11["suspicious_value"] == "xx"
+    assert "given:" in row7["explanation"]
+    # few false positives
+    assert len(flagged) < 40
+
+
+def test_prefilter_is_selective(spark, docs_df):
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    expr = eng.prefilter_expr(docs_df)
+    n_candidates = docs_df.filter(expr).count()
+    # the pushed-down pre-filter must eliminate the large majority of rows
+    # (its floor is the lowest conditional cluster's upper bound, so
+    # selectivity is data-dependent; see clusters.cpp:1073-1091)
+    assert n_candidates < docs_df.count() * 0.15
+
+
+def test_validate_verdicts(spark, docs_df):
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    viols, verdicts = eng.validate(docs_df, partition_col="bucket",
+                                   id_cols=["doc_id"])
+    vp = verdicts.toPandas().set_index("bucket")
+    assert len(vp) == 8
+    assert int(vp["n_rows"].sum()) == 4000
+    assert bool(vp["passed"].all())  # planted rate < pct_outliers threshold
+
+
+def test_checkpoint_ledger(spark, docs_df, tmp_path):
+    from outliertree_spark import CheckpointLedger
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    led = CheckpointLedger(str(tmp_path / "ledger.jsonl"))
+    _, verdicts = eng.validate(docs_df, partition_col="bucket")
+    led.record_verdicts(verdicts, "bucket", lineage={"input": "docs_df"})
+    assert len(led.done_partitions()) == 8
+    remaining = led.filter_remaining(docs_df, "bucket")
+    assert remaining.count() == 0
+
+
+def test_model_save_load_roundtrip(spark, docs_df, tmp_path):
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    p = str(tmp_path / "model.json")
+    eng.save(p)
+    eng2 = SparkOutlierTree.load(p)
+    v1 = eng.predict(docs_df, id_cols=["doc_id"]).toPandas()
+    v2 = eng2.predict(docs_df, id_cols=["doc_id"]).toPandas()
+    assert sorted(v1["doc_id"]) == sorted(v2["doc_id"])
+
+
+def test_timestamp_column_support(spark):
+    rng = np.random.RandomState(5)
+    n = 2000
+    base = pd.Timestamp("2024-01-01", tz="UTC")
+    ts = base + pd.to_timedelta(rng.randint(0, 30 * 24 * 3600, size=n), unit="s")
+    ts = pd.Series(ts)
+    ts.iloc[3] = base + pd.Timedelta(days=900)  # way outside the window
+    pdf = pd.DataFrame({"id": np.arange(n),
+                        "warc_ts": ts.dt.tz_localize(None),
+                        "x": rng.normal(size=n)})
+    df = spark.createDataFrame(pdf)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["id"])
+    viols = eng.predict(df, id_cols=["id"]).toPandas()
+    assert 3 in set(viols["id"])
+    row = viols[viols.id == 3].iloc[0]
+    assert row["suspicious_column"] == "warc_ts"
