@@ -1,0 +1,119 @@
+"""Declared schema-constraint checks (north-rule additions).
+
+The reference contains none of these (it is single-table, fit/predict
+only); they are standard validation checks layered on the same
+violation-row output model, expressed as pure Catalyst plans:
+
+- uniqueness via salted two-phase hash aggregation (hot keys never
+  concentrate on one reducer)
+- referential integrity via broadcast/shuffle left-anti join
+- KL / PSI distribution drift between categorical or bucketed-numeric
+  histograms
+- timestamp-range and per-group numeric-bound checks
+
+All return DataFrames; none collect to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def uniqueness_violations(df: DataFrame, key_cols: list[str] | str,
+                          n_salts: int = 64) -> DataFrame:
+    """Keys appearing more than once, with their duplicate count.
+
+    Two-phase: first aggregate on (salt, key) — the salt is a hash of the
+    whole row's partition, spreading a hot key over ``n_salts`` reducers —
+    then combine per key.  At 10^12 rows this keeps the first shuffle's
+    partitions bounded even when one url dominates."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    phase1 = (df.select(*key_cols, salt)
+                .groupBy(*key_cols, "_salt")
+                .agg(F.count(F.lit(1)).alias("_cnt")))
+    return (phase1.groupBy(*key_cols)
+            .agg(F.sum("_cnt").alias("n_dups"))
+            .filter(F.col("n_dups") > 1))
+
+
+def referential_orphans(child: DataFrame, parent: DataFrame,
+                        child_key: str, parent_key: str,
+                        broadcast_parent: bool = False) -> DataFrame:
+    """Child rows whose key has no match in the parent (left-anti join).
+
+    ``broadcast_parent=True`` for dimension-sized parents skips the
+    shuffle entirely; otherwise AQE's skew-join handling applies."""
+    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    return child.join(p, on=child_key, how="left_anti")
+
+
+def _histogram(df: DataFrame, col: str, bucket_expr=None) -> DataFrame:
+    e = bucket_expr if bucket_expr is not None else F.col(col)
+    return (df.select(e.alias("bucket"))
+              .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+                       numeric_bucket_width: float | None = None,
+                       eps: float = 1e-6) -> DataFrame:
+    """Per-bucket PSI and KL contributions between two snapshots of a
+    column; sum the ``psi``/``kl`` columns for the scalar metric.
+
+    Categorical columns bucket by value; numeric by
+    ``floor(col / width) * width``."""
+    if numeric_bucket_width is not None:
+        w = float(numeric_bucket_width)
+        be = (F.floor(F.col(col) / w) * w).cast("double")
+    else:
+        be = None
+    ha = _histogram(df_a, col, be).withColumnRenamed("n", "n_a")
+    hb = _histogram(df_b, col, be).withColumnRenamed("n", "n_b")
+    j = ha.join(hb, "bucket", "full")
+    j = (j.withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+          .withColumn("n_b", F.coalesce("n_b", F.lit(0))))
+    # histogram table is tiny (one row per bucket); a global window is fine
+    tot_a = F.sum("n_a").over(Window.partitionBy())
+    tot_b = F.sum("n_b").over(Window.partitionBy())
+    j = (j.withColumn("p", F.col("n_a") / tot_a + F.lit(eps))
+          .withColumn("q", F.col("n_b") / tot_b + F.lit(eps)))
+    return (j.withColumn("psi", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+             .withColumn("kl", F.col("p") * F.log(F.col("p") / F.col("q")))
+             .select("bucket", "n_a", "n_b", "p", "q", "psi", "kl"))
+
+
+def timestamp_range_violations(df: DataFrame, ts_col: str,
+                               lo: str, hi: str) -> DataFrame:
+    """Rows whose timestamp falls outside [lo, hi) or is NULL."""
+    c = F.col(ts_col)
+    return df.filter(c.isNull() | (c < F.lit(lo)) | (c >= F.lit(hi)))
+
+
+def group_bound_violations(df: DataFrame, group_cols: list[str], value_col: str,
+                           z: float = 8.0, robust: bool = True) -> DataFrame:
+    """Rows whose value is beyond z robust-SDs of their group.
+
+    ``robust=True`` uses the reference's central-half statistics
+    (misc.cpp:178-204: mean/SD of the IQR interior, SD inflated x2.5);
+    otherwise plain mean/stddev.  Partial aggregation happens map-side;
+    the stats table is broadcast back for the final filter."""
+    v = F.col(value_col)
+    if robust:
+        stats = df.groupBy(*group_cols).agg(
+            F.percentile_approx(value_col, 0.25).alias("_q1"),
+            F.percentile_approx(value_col, 0.75).alias("_q3"))
+        j = df.join(F.broadcast(stats), group_cols)
+        core = j.filter((v >= F.col("_q1")) & (v <= F.col("_q3")))
+        cstats = core.groupBy(*group_cols).agg(
+            F.avg(value_col).alias("_mu"),
+            (F.stddev_samp(value_col) * 2.5).alias("_sd"))
+        out = df.join(F.broadcast(cstats), group_cols)
+    else:
+        stats = df.groupBy(*group_cols).agg(
+            F.avg(value_col).alias("_mu"), F.stddev_samp(value_col).alias("_sd"))
+        out = df.join(F.broadcast(stats), group_cols)
+    return (out.filter(F.abs(v - F.col("_mu")) > F.lit(z) * F.col("_sd"))
+               .drop("_mu", "_sd", "_q1", "_q3"))

@@ -1,0 +1,119 @@
+"""Text-analysis operators for document tables.
+
+Language-ID (marker-word n-gram heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + a BPE-ish
+regex), and rolling-hash document fingerprinting.  Everything is built
+from ``pyspark.sql.functions`` so it stays inside whole-stage codegen;
+the SQL-oracle equivalents live in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny marker lexicons for the language-ID heuristic; counts of these
+# function words decide the predicted language (deterministic, oracle-able)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (0 for empty strings)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: letter runs + digit runs + single
+    punctuation marks (a cheap BPE proxy)."""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)
+    return F.size(arr).cast("long")
+
+
+def _count_occurrences(c: Column, word: str) -> Column:
+    """Occurrences of ' word ' in the padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    needle = f" {word} "
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("long")
+
+
+def lang_id_scores(text: Column | str) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    return {lang: sum((_count_occurrences(c, w) for w in words), F.lit(0).cast("long"))
+            for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax of marker-word counts, 'und'
+    (undetermined) when all scores are zero.  Ties break by language name
+    ascending (encoded as a negative rank field so struct max works)."""
+    scores = lang_id_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[
+        F.struct(scores[lang].alias("score"),
+                 F.lit(-rank).alias("neg_rank"),
+                 F.lit(lang).alias("lang"))
+        for rank, lang in enumerate(langs)
+    ])
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds deterministic quality features: n_chars, n_tokens,
+    mean_token_len, punct_ratio, stopword_ratio, quality_score in [0,1]."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    punct = (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("double")
+    stop = sum((_count_occurrences(c, w) for w in LANG_MARKERS["en"]),
+               F.lit(0).cast("long")).cast("double")
+    mean_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    # simple monotone blend: long enough, not punctuation soup, some stopwords
+    score = (F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+             + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3)
+    return (df.withColumn("n_chars_q", n_chars)
+              .withColumn("n_tokens", n_tokens.cast("long"))
+              .withColumn("mean_token_len", mean_tok)
+              .withColumn("punct_ratio", punct_ratio)
+              .withColumn("stopword_ratio", stop_ratio)
+              .withColumn("quality_score", score))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized lowercase text (rolling-hash equivalent for
+    whole-document identity)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 5,
+                           window: int = 4) -> DataFrame:
+    """Winnowing (local-minimum rolling hashes over k-grams): the standard
+    plagiarism/fingerprint scheme, as array ops — per doc, hash every
+    k-token shingle, then keep each window's minimum."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(
+        F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    m = F.size(hashes)
+    widx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    return df.select(F.col(id_col),
+                     F.array_distinct(mins).alias("fingerprints"))
