@@ -1,38 +1,552 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship validation query on sf0.001;
+``queries()`` exposes one callable per implemented operator
+(SURVEY.md section 2 + the training-data pipeline operators);
+``oracle_sql()`` gives DuckDB-equivalent ANSI SQL for every
+SQL-expressible query (tree-conditioned outlier detection, MinHash/
+SimHash and LSH are non-SQL-expressible -> rows-only checks).
+
+Column names are aliased identically on both sides; float outputs are
+rounded on both sides so value hashes compare stably.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EN_STOP = ["the", "and", "of", "to", "is"]
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ----------------------------------------------------------------------
+# flagship: fit the conditioning-tree validator on the documents table and
+# return its violation rows (tree-based: rows-only correctness check)
+# ----------------------------------------------------------------------
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+    from outliertree_spark.sources.docs import to_north_shape
+
+    docs = to_north_shape(_docs(spark, sf_dir), plant=True)
+    df = (docs.withColumn("text_len", F.length("text").cast("double"))
+              .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["doc_id"])
+    viols = eng.predict(df, id_cols=["doc_id"])
+    return viols.select("doc_id", "suspicious_column", "suspicious_value",
+                        "tree_depth", "uses_NA_branch",
+                        F.round("outlier_score", 6).alias("outlier_score"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>=0."""
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ----------------------------------------------------------------------
+# relational / declared-check queries (SQL-expressible, DuckDB oracles)
+# ----------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_duplicate_keys(spark, sf_dir):
+    from outliertree_spark.operators.checks import uniqueness_violations
+    return uniqueness_violations(_tbl(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_referential_orphans(spark, sf_dir):
+    from outliertree_spark.operators.checks import referential_orphans
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 != 0)
+    return (referential_orphans(li, orders, "l_orderkey", "o_orderkey")
+            .select("l_orderkey", "l_linenumber"))
+
+
+def q_orphan_orders(spark, sf_dir):
+    from outliertree_spark.operators.checks import referential_orphans
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer").filter(F.col("c_custkey") % 13 != 0)
+    return (referential_orphans(orders, cust, "o_custkey", "c_custkey",
+                                broadcast_parent=True)
+            .select("o_orderkey", "o_custkey"))
+
+
+def q_rare_categories(spark, sf_dir):
+    """C6 (cat_outlier.cpp:285-328) as a declarative plan on event_type."""
+    ev = _events(spark, sf_dir)
+    n = ev.count()
+    max_out = 1 if n < 10000 else (2 if n < 100000 else 3)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # rule applies only if no category sits between max_out and 250
+    blocked = counts.filter((F.col("n") > max_out) & (F.col("n") < 250)).count()
+    rare = counts.filter(F.col("n") <= max_out)
+    if n < 1000 or blocked > 0 or rare.count() != 1:
+        return rare.filter(F.lit(False)).select("event_type", "n")
+    return rare.select("event_type", "n")
+
+
+def q_drift_psi_lang(spark, sf_dir):
+    from outliertree_spark.operators.checks import distribution_drift
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    drift = distribution_drift(a, b, "lang")
+    return drift.select(F.col("bucket").alias("lang"), "n_a", "n_b",
+                        F.round("psi", 6).alias("psi"),
+                        F.round("kl", 6).alias("kl"))
+
+
+def q_drift_kl_nchars(spark, sf_dir):
+    from outliertree_spark.operators.checks import distribution_drift
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    drift = distribution_drift(a, b, "n_chars", numeric_bucket_width=50.0)
+    return drift.select(F.col("bucket").alias("bucket"), "n_a", "n_b",
+                        F.round("psi", 6).alias("psi"),
+                        F.round("kl", 6).alias("kl"))
+
+
+def q_ts_range_events(spark, sf_dir):
+    from outliertree_spark.operators.checks import timestamp_range_violations
+    ev = _events(spark, sf_dir)
+    return (timestamp_range_violations(ev, "ts", "2024-01-01", "2024-01-08")
+            .select("event_id", "event_type"))
+
+
+def q_bounds_events(spark, sf_dir):
+    """Per-type z-score bound check (plain mean/stddev, z > 4)."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(F.avg("value").alias("mu"),
+                                         F.stddev_samp("value").alias("sd"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    return (j.filter(F.abs(F.col("value") - F.col("mu")) > 4 * F.col("sd"))
+             .select("event_id", "event_type", F.round("value", 2).alias("value")))
+
+
+def q_token_counts(spark, sf_dir):
+    from outliertree_spark.operators.text import bpe_ish_token_count, token_count
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id",
+                    token_count("text").alias("n_tokens"),
+                    bpe_ish_token_count("text").alias("n_bpe_tokens"))
+
+
+def q_quality_scores(spark, sf_dir):
+    from outliertree_spark.operators.text import quality_features
+    d = quality_features(_docs(spark, sf_dir))
+    return d.select("doc_id", "n_tokens",
+                    F.round("mean_token_len", 6).alias("mean_token_len"),
+                    F.round("punct_ratio", 6).alias("punct_ratio"),
+                    F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                    F.round("quality_score", 6).alias("quality_score"))
+
+
+def q_lang_id(spark, sf_dir):
+    from outliertree_spark.operators.text import lang_id
+    return _docs(spark, sf_dir).select("doc_id",
+                                       lang_id("text").alias("lang_pred"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (d.select(F.md5("text").alias("text_hash"), "doc_id")
+             .groupBy("text_hash")
+             .agg(F.min("doc_id").alias("keep_id"),
+                  F.count(F.lit(1)).alias("n_dups")))
+
+
+def q_topk_cosine(spark, sf_dir):
+    from outliertree_spark.operators.similarity import brute_force_topk
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = brute_force_topk(emb, q, k=3)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def q_verdicts_by_source(spark, sf_dir):
+    """Declared-rule per-partition verdict: n_chars outside [60, 520]."""
+    d = _docs(spark, sf_dir)
+    viol = F.when((F.col("n_chars") < 60) | (F.col("n_chars") > 520), 1).otherwise(0)
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(viol).alias("n_violations"))
+            .withColumn("violation_rate",
+                        F.round(F.col("n_violations") / F.col("n_rows"), 6))
+            .withColumn("passed", F.col("n_violations") == 0))
+
+
+def q_embedding_norms(spark, sf_dir):
+    from outliertree_spark.operators.similarity import norm_expr
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return (emb.select("label", norm_expr("embedding").alias("_n"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.round(F.avg("_n"), 6).alias("avg_norm"),
+                 F.round(F.min("_n"), 6).alias("min_norm"),
+                 F.round(F.max("_n"), 6).alias("max_norm")))
+
+
+def q_supplier_agg_rollup(spark, sf_dir):
+    """Join + rollup: revenue per (nation, supplier) with subtotal rows."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    sup = _tbl(spark, sf_dir, "supplier")
+    nat = _tbl(spark, sf_dir, "nation")
+    j = (li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+           .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey))
+    return (j.rollup("n_name", "s_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+def q_top_customers_window(spark, sf_dir):
+    """Window top-k per group: 3 highest-value orders per market segment."""
+    from pyspark.sql import Window
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (j.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= 3)
+             .select("c_mktsegment", "o_orderkey",
+                     F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"))
+
+
+# ----------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only checks)
+# ----------------------------------------------------------------------
+
+def q_outlier_validate(spark, sf_dir):
+    return _flagship(spark, sf_dir)
+
+
+def q_minhash_dups(spark, sf_dir):
+    from outliertree_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(d)
+    return (ngram_jaccard(pairs, d)
+            .filter(F.col("jaccard") >= 0.7)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def q_simhash_dups(spark, sf_dir):
+    from outliertree_spark.operators.dedup import simhash_near_dups
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from outliertree_spark.operators.similarity import lsh_topk
+    emb = _tbl(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = lsh_topk(emb, q, k=3)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", 4).alias("cosine"), "rank")
+
+
+def q_fingerprints(spark, sf_dir):
+    from outliertree_spark.operators.text import fingerprint
+    return _docs(spark, sf_dir).select("doc_id",
+                                       fingerprint("text").alias("fp"))
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from outliertree_spark.operators.dedup import embedding_near_dups
+    return embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
+                               min_cosine=0.8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "duplicate_keys": q_duplicate_keys,
+        "referential_orphans": q_referential_orphans,
+        "orphan_orders": q_orphan_orders,
+        "rare_categories": q_rare_categories,
+        "drift_psi_lang": q_drift_psi_lang,
+        "drift_kl_nchars": q_drift_kl_nchars,
+        "ts_range_events": q_ts_range_events,
+        "bounds_events": q_bounds_events,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "topk_cosine": q_topk_cosine,
+        "verdicts_by_source": q_verdicts_by_source,
+        "embedding_norms": q_embedding_norms,
+        "supplier_agg_rollup": q_supplier_agg_rollup,
+        "top_customers_window": q_top_customers_window,
+        # rows-only (non-SQL-expressible)
+        "outlier_validate": q_outlier_validate,
+        "minhash_dups": q_minhash_dups,
+        "simhash_dups": q_simhash_dups,
+        "ann_lsh": q_ann_lsh,
+        "fingerprints": q_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stop_count_sql(col: str, word: str) -> str:
+    pad = f"concat(' ', lower({col}), ' ')"
+    needle = f"' {word} '"
+    return (f"CAST((length({pad}) - length(replace({pad}, {needle}, '')))"
+            f" / {len(word) + 2} AS BIGINT)")
+
+
+def _lang_scores_sql() -> str:
+    from outliertree_spark.operators.text import LANG_MARKERS
+    parts = []
+    for lang in sorted(LANG_MARKERS):
+        s = " + ".join(_stop_count_sql("text", w) for w in LANG_MARKERS[lang])
+        parts.append(f"({s}) AS s_{lang}")
+    return ", ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = "string_split(trim(text), ' ')"
+    n_tokens = (f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+                f"ELSE len(list_filter({tok}, t -> t <> '')) END")
+    # Spark split(text, '\\s+') on trimmed text never yields empties for
+    # single-space text; duckdb equivalent filters empties
+    stop_sum = " + ".join(_stop_count_sql("text", w) for w in EN_STOP)
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "duplicate_keys": """
+            SELECT o_custkey, count(*) AS n_dups
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0)
+        """,
+        "orphan_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 13 <> 0)
+        """,
+        "rare_categories": """
+            WITH counts AS (
+                SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+            params AS (
+                SELECT CASE WHEN sum(n) < 10000 THEN 1
+                            WHEN sum(n) < 100000 THEN 2 ELSE 3 END AS max_out,
+                       sum(n) AS tot
+                FROM counts),
+            blocked AS (
+                SELECT count(*) AS b FROM counts, params
+                WHERE n > max_out AND n < 250),
+            rare AS (
+                SELECT event_type, n FROM counts, params WHERE n <= max_out)
+            SELECT event_type, n FROM rare, params, blocked
+            WHERE tot >= 1000 AND b = 0
+              AND (SELECT count(*) FROM rare) = 1
+        """,
+        "drift_psi_lang": """
+            WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+                       WHERE doc_id % 2 = 0 GROUP BY lang),
+                 b AS (SELECT lang, count(*) AS n_b FROM documents
+                       WHERE doc_id % 2 = 1 GROUP BY lang),
+                 j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                              coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                       FROM a FULL JOIN b ON a.lang = b.lang),
+                 t AS (SELECT lang, n_a, n_b,
+                              CAST(n_a AS DOUBLE) / (SELECT sum(n_a) FROM j) + 1e-6 AS p,
+                              CAST(n_b AS DOUBLE) / (SELECT sum(n_b) FROM j) + 1e-6 AS q
+                       FROM j)
+            SELECT lang, n_a, n_b,
+                   round((p - q) * ln(p / q), 6) AS psi,
+                   round(p * ln(p / q), 6) AS kl
+            FROM t
+        """,
+        "drift_kl_nchars": """
+            WITH a AS (SELECT CAST(floor(n_chars / 50.0) * 50.0 AS DOUBLE) AS bucket,
+                              count(*) AS n_a
+                       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+                 b AS (SELECT CAST(floor(n_chars / 50.0) * 50.0 AS DOUBLE) AS bucket,
+                              count(*) AS n_b
+                       FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+                 j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+                              coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+                       FROM a FULL JOIN b ON a.bucket = b.bucket),
+                 t AS (SELECT bucket, n_a, n_b,
+                              CAST(n_a AS DOUBLE) / (SELECT sum(n_a) FROM j) + 1e-6 AS p,
+                              CAST(n_b AS DOUBLE) / (SELECT sum(n_b) FROM j) + 1e-6 AS q
+                       FROM j)
+            SELECT bucket, n_a, n_b,
+                   round((p - q) * ln(p / q), 6) AS psi,
+                   round(p * ln(p / q), 6) AS kl
+            FROM t
+        """,
+        "ts_range_events": """
+            SELECT event_id, event_type FROM events
+            WHERE ts IS NULL OR ts < TIMESTAMP '2024-01-01'
+               OR ts >= TIMESTAMP '2024-01-08'
+        """,
+        "bounds_events": """
+            WITH stats AS (
+                SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, round(e.value, 2) AS value
+            FROM events e JOIN stats s ON e.event_type = s.event_type
+            WHERE abs(e.value - s.mu) > 4 * s.sd
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   {n_tokens} AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST({n_tokens} AS DOUBLE) AS n_tokens,
+                       CAST(length(text) - length(regexp_replace(text,
+                            '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                       CAST({stop_sum} AS DOUBLE) AS stop
+                FROM documents)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(CASE WHEN n_tokens > 0
+                              THEN (n_chars - (n_tokens - 1)) / n_tokens
+                              ELSE 0.0 END, 6) AS mean_token_len,
+                   round(CASE WHEN n_chars > 0 THEN punct / n_chars
+                              ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN stop / n_tokens
+                              ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * 0.4
+                         + (1.0 - least(CASE WHEN n_chars > 0
+                                             THEN punct / n_chars ELSE 0.0 END
+                                        * 5.0, 1.0)) * 0.3
+                         + least(CASE WHEN n_tokens > 0 THEN stop / n_tokens
+                                      ELSE 0.0 END * 5.0, 1.0) * 0.3, 6)
+                     AS quality_score
+            FROM t
+        """,
+        "lang_id": f"""
+            WITH scores AS (SELECT doc_id, {_lang_scores_sql()} FROM documents),
+            unp AS (
+                SELECT doc_id, 'de' AS lang, s_de AS score FROM scores
+                UNION ALL SELECT doc_id, 'en', s_en FROM scores
+                UNION ALL SELECT doc_id, 'es', s_es FROM scores
+                UNION ALL SELECT doc_id, 'fr', s_fr FROM scores),
+            ranked AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang ASC) AS rn
+                FROM unp)
+            SELECT doc_id,
+                   CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred
+            FROM ranked WHERE rn = 1
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            pairs AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS cos
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC)
+                         AS rank
+                FROM pairs)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "verdicts_by_source": """
+            SELECT source, count(*) AS n_rows,
+                   sum(CASE WHEN n_chars < 60 OR n_chars > 520
+                            THEN 1 ELSE 0 END) AS n_violations,
+                   round(sum(CASE WHEN n_chars < 60 OR n_chars > 520
+                                  THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+                   sum(CASE WHEN n_chars < 60 OR n_chars > 520
+                            THEN 1 ELSE 0 END) = 0 AS passed
+            FROM documents GROUP BY source
+        """,
+        "embedding_norms": """
+            WITH t AS (SELECT label,
+                              sqrt(list_sum(list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                                AS nrm
+                       FROM embeddings)
+            SELECT label, count(*) AS n_vecs,
+                   round(avg(nrm), 6) AS avg_norm,
+                   round(min(nrm), 6) AS min_norm,
+                   round(max(nrm), 6) AS max_norm
+            FROM t GROUP BY label
+        """,
+        "supplier_agg_rollup": """
+            SELECT n_name, s_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, s_name)
+        """,
+        "top_customers_window": """
+            WITH j AS (
+                SELECT c_mktsegment, o_orderkey, o_totalprice
+                FROM orders JOIN customer ON o_custkey = c_custkey),
+            r AS (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC) AS rnk
+                FROM j)
+            SELECT c_mktsegment, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM r WHERE rnk <= 3
+        """,
+    }

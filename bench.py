@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract + BASELINE.md two-parallelism rule).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then re-runs the
+validate-throughput job at local[8] on the same input to evidence the
+north rule's two-cluster-size scaling criterion (no real cluster in this
+sandbox; BASELINE.md documents the stand-in).  Prints ONE JSON line.
+
+The validate job measures the scale path only: the model is fitted once
+(fit time reported separately) and the timed section is scan -> pushed
+prefilter -> Arrow mapInPandas routing -> count, over a deterministic
+scale_up of the documents table (~2M rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "2000000"))
+LOW_PAR = int(os.environ.get("BENCH_LOW_PAR", "8"))
+
+
+def _sf_number(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def make_session(par: int):
+    from outliertree_spark.session import get_spark
+    return get_spark(app=f"bench[{par}]", master=f"local[{par}]",
+                     shuffle_partitions=par,
+                     extra_conf={"spark.ui.showConsoleProgress": "false",
+                                 "spark.driver.memory":
+                                     os.environ.get("SPARK_DRIVER_MEM", "48g")})
+
+
+def build_validator(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+    from outliertree_spark.sources.docs import load_documents, to_north_shape
+
+    base = to_north_shape(load_documents(spark, sf_dir), plant=True)
+    feat = (base.withColumn("text_len", F.length("text").cast("double"))
+                .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+    t0 = time.time()
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(feat, id_cols=["doc_id"])
+    fit_sec = time.time() - t0
+    return eng, fit_sec
+
+
+def materialize_scaled_docs(spark, sf_dir, target_rows) -> tuple[str, int]:
+    """Write the scaled documents table to parquet ONCE (bench setup).
+
+    The timed job then measures the realistic shape — parquet scan
+    (including the text bytes), derived text_len, pushed prefilter, Arrow
+    routing — with the synthetic-generation cost out of the timed path."""
+    import tempfile
+    from pyspark.sql import functions as F
+    from outliertree_spark.sources.docs import load_documents, scale_up, to_north_shape
+
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bench_docs_{_sf_number(sf_dir)}_{target_rows}.parquet")
+    if not os.path.exists(path):
+        docs = load_documents(spark, sf_dir)
+        n = docs.count()
+        factor = max(1, target_rows // max(n, 1))
+        par = spark.sparkContext.defaultParallelism
+        scaled = scale_up(docs.repartition(4 * par), factor)
+        base = to_north_shape(scaled, plant=True)
+        (base.select("doc_id", "text", "lang", "source", "warc_ts")
+             .write.mode("overwrite").parquet(path))
+    import glob
+    n_rows = None
+    return path, n_rows
+
+
+def scaled_feature_table(spark, sf_dir, target_rows):
+    from pyspark.sql import functions as F
+    path, _ = materialize_scaled_docs(spark, sf_dir, target_rows)
+    raw = spark.read.parquet(path)
+    feat = (raw.withColumn("text_len", F.length("text").cast("double"))
+               .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+    return feat, raw
+
+
+def run_validate_throughput(spark, sf_dir, eng, warmup: bool = True):
+    feat, raw = scaled_feature_table(spark, sf_dir, TARGET_DOCS)
+    if warmup:  # JIT/codegen/Arrow/page-cache warmup
+        eng.predict(feat, id_cols=["doc_id"]).count()
+    n_docs = raw.count()
+    t0 = time.time()
+    n_viols = eng.predict(feat, id_cols=["doc_id"]).count()
+    sec = time.time() - t0
+    return n_docs, n_viols, sec
+
+
+def run_headline_queries(spark, sf_dir) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    names = ["pricing_summary", "duplicate_keys", "referential_orphans",
+             "drift_psi_lang", "bounds_events", "token_counts",
+             "quality_scores", "lang_id", "exact_dedup", "topk_cosine",
+             "minhash_dups", "simhash_dups", "supplier_agg_rollup",
+             "top_customers_window", "outlier_validate"]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    # --- primary run at full parallelism -------------------------------
+    spark = make_session(CPUS)
+    eng, fit_sec = build_validator(spark, SF_DIR)
+    n_docs, n_viols, sec_hi = run_validate_throughput(spark, SF_DIR, eng)
+    thru_hi = n_docs / sec_hi
+    queries = run_headline_queries(spark, SF_DIR)
+    model_json = None
+    import tempfile
+    model_path = os.path.join(tempfile.gettempdir(), "bench_model.json")
+    eng.save(model_path)
+    spark.stop()
+
+    # --- low-parallelism rerun of the same job on the same input -------
+    from outliertree_spark import SparkOutlierTree
+    spark = make_session(LOW_PAR)
+    eng2 = SparkOutlierTree.load(model_path)
+    n_docs2, n_viols2, sec_lo = run_validate_throughput(spark, SF_DIR, eng2)
+    thru_lo = n_docs2 / sec_lo
+    spark.stop()
+
+    eff = (thru_hi / thru_lo) / (CPUS / LOW_PAR) if thru_lo > 0 else 0.0
+    total = round(sum(queries.values()) + sec_hi, 3)
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {**queries, "validate_2M_docs": round(sec_hi, 3)},
+        "sf": _sf_number(SF_DIR),
+        "validate_docs": n_docs,
+        "validate_violations": n_viols,
+        "fit_sec": round(fit_sec, 3),
+        "throughput_docs_per_sec": {f"local[{LOW_PAR}]": round(thru_lo, 1),
+                                    f"local[{CPUS}]": round(thru_hi, 1)},
+        "scaling_efficiency": round(eff, 3),
+        "parallelism": {"low": LOW_PAR, "high": CPUS},
+        "violations_agree_across_parallelism": n_viols == n_viols2,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from .config import ValidationConfig
 from .model import attach_conditions, flaggable_values, model_from_json, model_to_json
 from .operators.fit import fit_arrays
 from .operators.predict import predict_batch
-from .report import render_violation
+from .report import compile_renderer as render_compiled
 from .schema import (
     build_model_schema,
     infer_kinds,
@@ -74,53 +74,119 @@ def _group_statistics_dict(model: dict, cm: dict, cl: dict, value) -> dict:
 
 def _violations_from_batch(model: dict, pdf: pd.DataFrame,
                            id_cols: list[str]) -> pd.DataFrame:
+    """Build typed violation rows for one Arrow batch.
+
+    Hot-path layout: per-row Python is limited to the flagged rows (bounded
+    by the prefilter); all constant-per-cluster pieces (group statistics,
+    conditions JSON, simplified explanation parts) are compiled once per
+    (column, cluster) and cached on the model dict."""
     data = pandas_to_predict_arrays(pdf, model)
     res = predict_batch(model, data)
     rows = np.flatnonzero(res.score < 1.0)
     out = {c: [] for c in id_cols}
     cols = {f.name: [] for f in VIOLATION_FIELDS}
+    if rows.shape[0] == 0:
+        out.update(cols)
+        return pd.DataFrame(out)
+
+    raw_cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    cache = model.setdefault("_render_cache", {})
+
     for r in rows:
-        cm = model["columns"][res.col[r]]
-        cl = cm["clusters"][res.cluster[r]]
+        ci, cli = int(res.col[r]), int(res.cluster[r])
+        key = (ci, cli)
+        ent = cache.get(key)
+        if ent is None:
+            cm = model["columns"][ci]
+            cl = cm["clusters"][cli]
+            ent = {
+                "cm": cm, "cl": cl,
+                "render": render_compiled(model, cm, cl),
+                "conds_json": json.dumps(cl.get("conditions") or [],
+                                         default=str),
+                "gs": {},
+            }
+            cache[key] = ent
+        cm, cl = ent["cm"], ent["cl"]
         name = cm["name"]
-        raw = pdf[name].iloc[int(r)]
         if cm["kind"] == "numeric":
+            enc_val = float(data[name][r])
+            side = "hi" if enc_val >= cl["upper_lim"] else "lo"
+            gs_json = ent["gs"].get(side)
+            if gs_json is None:
+                gs_json = json.dumps(
+                    _group_statistics_dict(model, cm, cl, enc_val), default=str)
+                ent["gs"][side] = gs_json
             if cm.get("is_ts"):
-                enc_val = float(data[name][r])
-                disp = str(raw)
+                disp = str(raw_cols[name][r])
                 num_val = enc_val + cm["ts_min"]
             else:
-                enc_val = float(data[name][r])
                 disp = repr(enc_val)
                 num_val = enc_val
-            gs = _group_statistics_dict(model, cm, cl, enc_val)
             value_for_render = enc_val
         else:
             lev_code = int(data[name][r])
-            value_for_render = cm["levels"][lev_code] if 0 <= lev_code < len(cm["levels"]) else raw
+            if 0 <= lev_code < len(cm["levels"]):
+                value_for_render = cm["levels"][lev_code]
+            else:
+                value_for_render = raw_cols[name][r]
+            gs_json = ent["gs"].get(lev_code)
+            if gs_json is None:
+                gs_json = json.dumps(
+                    _group_statistics_dict(model, cm, cl, value_for_render),
+                    default=str)
+                ent["gs"][lev_code] = gs_json
             disp = str(value_for_render)
             num_val = None
-            gs = _group_statistics_dict(model, cm, cl, value_for_render)
-        value_this = {c: pdf[c].iloc[int(r)] for c in pdf.columns}
-        row_label = pdf[id_cols[0]].iloc[int(r)] if id_cols else int(r)
+        value_this = _LazyRow(raw_cols, int(r))
+        row_label = raw_cols[id_cols[0]][r] if id_cols else int(r)
         try:
-            expl = render_violation(model, cm, cl, row_label, value_for_render,
-                                    value_this)
+            expl = ent["render"](row_label, value_for_render, value_this)
         except Exception as e:  # formatting must never kill the job
             expl = f"<render error: {e}>"
         for c in id_cols:
-            out[c].append(pdf[c].iloc[int(r)])
+            out[c].append(raw_cols[c][r])
         cols["suspicious_column"].append(name)
         cols["suspicious_value"].append(disp)
         cols["suspicious_value_num"].append(num_val)
-        cols["group_statistics"].append(json.dumps(gs, default=str))
-        cols["conditions"].append(json.dumps(cl.get("conditions") or [], default=str))
+        cols["group_statistics"].append(gs_json)
+        cols["conditions"].append(ent["conds_json"])
         cols["tree_depth"].append(int(res.depth[r]))
         cols["uses_NA_branch"].append(bool(res.nab[r]))
         cols["outlier_score"].append(float(res.score[r]))
         cols["explanation"].append(expl)
     out.update(cols)
     return pd.DataFrame(out)
+
+
+_WORKER_MODELS: dict[int, dict] = {}
+
+
+def _worker_model(bc) -> dict:
+    """Parse the broadcast model JSON once per worker process (the parsed
+    dict also accumulates the per-cluster render cache)."""
+    s = bc.value
+    key = (len(s), hash(s[:256]), hash(s[-256:]))
+    m = _WORKER_MODELS.get(key)
+    if m is None:
+        m = model_from_json(s)
+        _WORKER_MODELS.clear()  # one model at a time per worker is typical
+        _WORKER_MODELS[key] = m
+    return m
+
+
+class _LazyRow:
+    """dict-like view of one row over column arrays (no copies)."""
+
+    __slots__ = ("cols", "r")
+
+    def __init__(self, cols, r):
+        self.cols = cols
+        self.r = r
+
+    def get(self, name, default=None):
+        arr = self.cols.get(name)
+        return arr[self.r] if arr is not None else default
 
 
 class SparkOutlierTree:
@@ -220,7 +286,7 @@ class SparkOutlierTree:
         out_schema = T.StructType(id_fields + VIOLATION_FIELDS)
 
         def run(iterator):
-            m = model_from_json(bc.value)
+            m = _worker_model(bc)
             for pdf in iterator:
                 if len(pdf) == 0:
                     continue

@@ -119,9 +119,12 @@ def pandas_to_predict_arrays(pdf: pd.DataFrame, model: dict) -> dict[str, np.nda
                 notna = s.notna().to_numpy()
                 codes[notna] = s[notna].astype(bool).to_numpy().astype(np.int64)
             else:
-                codes = np.array(
-                    [lut.get(v, ncat) if (v is not None and v == v) else -1
-                     for v in s], dtype=np.int64)
+                # vectorized encode: pandas map is C-speed; NA -> -1,
+                # unseen -> ncat (reference encoding, __init__.py:614-630)
+                isna = s.isna().to_numpy()
+                mapped = s.map(lut)
+                codes = mapped.fillna(ncat).to_numpy(dtype=np.int64, na_value=ncat)
+                codes[isna] = -1
             out[name] = codes
     return out
 

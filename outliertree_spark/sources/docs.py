@@ -82,5 +82,7 @@ def scale_up(docs: DataFrame, factor: int) -> DataFrame:
     rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     n = 10 ** 9
     return (docs.select("*", rep)
-                .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+                .withColumn("doc_id",
+                            F.col("doc_id").cast("long")
+                            + F.col("rep").cast("long") * F.lit(n).cast("long"))
                 .drop("rep"))

@@ -1,0 +1,191 @@
+"""Declared checks + pipeline operators on Spark (planted expectations)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from outliertree_spark.operators import checks, dedup, similarity, text, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_uniqueness_salted_agg_matches_plain(spark, docs):
+    from outliertree_spark.sources.docs import to_north_shape
+    north = to_north_shape(docs, plant=True)
+    salted = checks.uniqueness_violations(north, "url").toPandas()
+    plain = (north.groupBy("url").count().filter("count > 1")
+             .toPandas())
+    assert sorted(salted["url"]) == sorted(plain["url"])
+    assert len(salted) > 0  # planted duplicates exist
+
+
+def test_referential_orphans_planted(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    # clean data: no orphans
+    assert checks.referential_orphans(li, orders, "l_orderkey",
+                                      "o_orderkey").count() == 0
+    # remove some parents -> their children must surface
+    removed = orders.filter(F.col("o_orderkey") % 11 != 0)
+    orphans = checks.referential_orphans(li, removed, "l_orderkey",
+                                         "o_orderkey")
+    expected = li.filter(F.col("l_orderkey") % 11 == 0).count()
+    assert orphans.count() == expected
+
+
+def test_drift_detects_shifted_distribution(spark, docs):
+    a = docs
+    b = docs.withColumn("lang", F.when(F.col("lang") == "en", "de")
+                        .otherwise(F.col("lang")))
+    psi_same = (checks.distribution_drift(a, a, "lang")
+                .agg(F.sum("psi")).first()[0])
+    psi_diff = (checks.distribution_drift(a, b, "lang")
+                .agg(F.sum("psi")).first()[0])
+    assert abs(psi_same) < 1e-9
+    assert psi_diff > 0.2
+
+
+def test_group_bound_violations_planted(spark):
+    pdf = pd.DataFrame({
+        "g": ["a"] * 200 + ["b"] * 200,
+        "v": np.concatenate([np.random.RandomState(0).normal(0, 1, 200),
+                             np.random.RandomState(1).normal(100, 5, 200)]),
+        "i": np.arange(400),
+    })
+    pdf.loc[7, "v"] = 1e6
+    df = spark.createDataFrame(pdf)
+    out = checks.group_bound_violations(df, ["g"], "v").toPandas()
+    assert 7 in set(out["i"])
+
+
+def test_exact_dedup_and_duplicates(spark, docs):
+    dup = docs.union(docs.limit(10))  # plant 10 exact duplicates
+    groups = dedup.exact_duplicates(dup).toPandas()
+    assert groups["n_dups"].ge(2).all() and len(groups) >= 1
+    kept = dedup.exact_dedup(dup)
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    # plant: doc 9000 = doc 0's text with one word changed
+    base = docs.limit(50)
+    near = (base.filter(F.col("doc_id") == 0)
+            .withColumn("doc_id", F.lit(9000))
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra"))))
+    d = base.union(near)
+    pairs = dedup.minhash_lsh_candidates(d).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 9000)).any()
+    jac = dedup.ngram_jaccard(
+        dedup.minhash_lsh_candidates(d), d).toPandas()
+    row = jac[(jac.id_a == 0) & (jac.id_b == 9000)]
+    assert len(row) and row.iloc[0]["jaccard"] > 0.8
+
+
+def test_simhash_hamming_zero_for_identical(spark, docs):
+    base = docs.limit(30)
+    clone = (base.filter(F.col("doc_id") == 1)
+             .withColumn("doc_id", F.lit(9001)))
+    d = base.union(clone)
+    out = dedup.simhash_near_dups(d, max_hamming=0).toPandas()
+    assert ((out.id_a == 1) & (out.id_b == 9001) & (out.hamming == 0)).any()
+
+
+def test_brute_force_topk_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # nearest neighbor of a cloned vector is the original with cosine ~1
+    clone = (emb.filter(F.col("vec_id") == 3)
+             .withColumn("vec_id", F.lit(99999)))
+    all_ = emb.union(clone)
+    q = clone.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.brute_force_topk(all_, q, k=1).toPandas()
+    assert out.iloc[0]["neighbor_id"] == 3
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_subset_of_bruteforce_quality(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    bf = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    ap = similarity.lsh_topk(emb, q, k=5).toPandas()
+    # every LSH result's cosine is a real cosine <= the exact best
+    best = bf[bf["rank"] == 1].set_index("query_id")["cosine"]
+    for _, r in ap.iterrows():
+        assert r["cosine"] <= best[r["query_id"]] + 1e-9
+
+
+def test_embedding_cosine_expr_matches_numpy(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(2).toPandas()
+    a, b = np.array(emb.embedding[0]), np.array(emb.embedding[1])
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    df = spark.createDataFrame(
+        pd.DataFrame({"x": [list(map(float, a))], "y": [list(map(float, b))]}))
+    got = df.select(similarity.cosine_expr("x", "y").alias("c")).first()["c"]
+    assert got == pytest.approx(expected, rel=1e-6)
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["", "  ", "one", "a b  c", "x\ty z"]}))
+    out = df.select(text.token_count("text").alias("n")).toPandas()["n"].tolist()
+    assert out == [0, 0, 1, 3, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "the cat and the dog of the house is big",
+        "der hund und die katze ist nicht da",
+        "le chat et la maison est les grands",
+        "zzz qqq www",
+    ]}))
+    out = df.select(text.lang_id("text").alias("l")).toPandas()["l"].tolist()
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ["Hello   world"], "b": ["hello world"]}))
+    r = df.select(text.fingerprint("a").alias("fa"),
+                  text.fingerprint("b").alias("fb")).first()
+    assert r["fa"] == r["fb"]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synth_media_table(spark, 12)
+    feats = multimodal.extract_features(media, fake=True).toPandas()
+    assert len(feats) == 12
+    assert all(len(f) == 8 for f in feats["feature"])
+    # real decode is stubbed: must raise, not silently fake
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, fake=False).count()
+    frames = multimodal.frame_sample_plan(media, every_ms=1000)
+    # 4 video rows x 3 frames (0,1000,2000 of 3000ms)
+    assert frames.count() == 12
+
+
+def test_streaming_validation(spark, tmp_path):
+    import os
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+    from outliertree_spark.streaming.validate import (
+        run_stream_to_memory, stream_violations)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(ev, id_cols=["event_id"], cols_ignore=["props"])
+    # corrupt + write as streaming source
+    bad = ev.withColumn("value", F.when(F.col("event_id") == 5, 8.8e8)
+                        .otherwise(F.col("value")))
+    src = str(tmp_path / "stream_src")
+    bad.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(bad.schema).parquet(src))
+    v = stream_violations(eng, stream, id_cols=["event_id"])
+    run_stream_to_memory(v, "viol_stream")
+    got = spark.sql("SELECT * FROM viol_stream").toPandas()
+    assert 5 in set(got["event_id"])
