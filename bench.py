@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "2000000"))
+TARGET_DOCS = int(os.environ.get("BENCH_TARGET_DOCS", "20000000"))
 LOW_PAR = int(os.environ.get("BENCH_LOW_PAR", "8"))
 
 
@@ -80,29 +80,34 @@ def materialize_scaled_docs(spark, sf_dir, target_rows) -> tuple[str, int]:
         base = to_north_shape(scaled, plant=True)
         (base.select("doc_id", "text", "lang", "source", "warc_ts")
              .write.mode("overwrite").parquet(path))
-    import glob
-    n_rows = None
-    return path, n_rows
+    return path
 
 
 def scaled_feature_table(spark, sf_dir, target_rows):
     from pyspark.sql import functions as F
-    path, _ = materialize_scaled_docs(spark, sf_dir, target_rows)
+    path = materialize_scaled_docs(spark, sf_dir, target_rows)
     raw = spark.read.parquet(path)
     feat = (raw.withColumn("text_len", F.length("text").cast("double"))
                .select("doc_id", "text_len", "lang", "source", "warc_ts"))
     return feat, raw
 
 
-def run_validate_throughput(spark, sf_dir, eng, warmup: bool = True):
+def run_validate_throughput(spark, sf_dir, eng, warmup: bool = True,
+                            n_runs: int = 3):
+    """Steady-state wall time: one warmup (JIT/codegen/page cache), then
+    min of ``n_runs`` timed executions of the same job."""
     feat, raw = scaled_feature_table(spark, sf_dir, TARGET_DOCS)
-    if warmup:  # JIT/codegen/Arrow/page-cache warmup
-        eng.predict(feat, id_cols=["doc_id"]).count()
+    v = eng.predict(feat, id_cols=["doc_id"])
+    if warmup:
+        v.count()
     n_docs = raw.count()
-    t0 = time.time()
-    n_viols = eng.predict(feat, id_cols=["doc_id"]).count()
-    sec = time.time() - t0
-    return n_docs, n_viols, sec
+    best = float("inf")
+    n_viols = 0
+    for _ in range(max(1, n_runs)):
+        t0 = time.time()
+        n_viols = v.count()
+        best = min(best, time.time() - t0)
+    return n_docs, n_viols, best
 
 
 def run_headline_queries(spark, sf_dir) -> dict[str, float]:

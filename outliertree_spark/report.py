@@ -78,6 +78,23 @@ def simplify_conditions(conditions: list[dict]) -> list[dict]:
     return out
 
 
+def print_outliers(violations_pdf, max_outliers: int = 10) -> str:
+    """Reference-format report over a violations frame (B4,
+    __init__.py:785-969): sort by (uses_NA_branch, tree_depth,
+    outlier_score) ascending, print the pre-rendered explanation blocks."""
+    tot = len(violations_pdf)
+    if tot == 0:
+        return "No outliers found in input data.\n"
+    ordered = violations_pdf.sort_values(
+        ["uses_NA_branch", "tree_depth", "outlier_score"],
+        ascending=True).head(max_outliers)
+    out = [f"Reporting top {len(ordered)} outliers [out of {tot} found]\n\n"]
+    for _, row in ordered.iterrows():
+        out.append(row["explanation"])
+        out.append("\n")
+    return "\n".join(out)
+
+
 def compile_renderer(model: dict, cm: dict, cl: dict, min_decimals: int = 2):
     """Precompile the per-cluster constant parts of the explanation so the
     hot loop only does per-row value formatting.  Returns
