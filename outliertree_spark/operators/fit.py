@@ -146,10 +146,20 @@ class _FitContext:
 class _ColumnFit:
     """Workspace for fitting one target column (reference Workspace struct)."""
 
-    def __init__(self, ctx: _FitContext, target: FitColumn):
+    def __init__(self, ctx: _FitContext, target: FitColumn,
+                 stale_has_outliers: bool = False):
         self.ctx = ctx
         self.cfg = ctx.cfg
         self.target = target
+        # Mirrors the reference's Workspace.has_outliers, which at
+        # process_numeric_col:559-568 still holds the LAST branch-cluster
+        # result of the previously fitted column (it is only assigned per
+        # split branch, never reset; the root-cluster call assigns
+        # col_has_outliers instead).  With the single-threaded column order
+        # this makes root-outlier removal depend on the previous column --
+        # deliberate parity with the reference, verified by the
+        # tools/diff_vs_reference.py harness.
+        self.has_outliers = stale_has_outliers
         self.trees: list[dict] = []
         self.clusters: list[dict] = []
         self.state = RowState(ctx.nrows)
@@ -253,9 +263,11 @@ class _ColumnFit:
         self.clusters.append(cl)
         self.trees[0]["clusters"].append(0)
         self.col_has_outliers = found
-        if found:
+        # reference checks the STALE has_outliers here, not `found`
+        # (fit_model.cpp:559-568); see __init__ comment
+        if self.has_outliers:
             ix = ix[self.state.scores[ix] >= 1.0]
-        if found or exp_t or log_t:
+        if self.has_outliers or exp_t or log_t:
             mean_y, sd_y = welford_mean_sd(y[ix])
         else:
             mean_y, sd_y = mean, sd_full
@@ -293,6 +305,7 @@ class _ColumnFit:
             self.log_transf, self.log_minval, self.exp_transf,
             self.orig_mean, self.orig_sd, self.left_tail, self.right_tail,
             cfg.pct_outliers, cfg.z_norm, cfg.z_outlier, False)
+        self.has_outliers = found
         self.trees[tree_from]["clusters"].append(len(self.clusters))
         self.clusters.append(cl)
         return found
@@ -517,6 +530,7 @@ class _ColumnFit:
             cfg.pct_outliers, cfg.z_norm, cfg.z_outlier,
             self.ctx.prop_small[self.target.name],
             self.ctx.prior[self.target.name])
+        self.has_outliers = found
         if not drop:
             self.trees[tree_from]["clusters"].append(len(self.clusters))
             self.clusters.append(cl)
@@ -813,14 +827,16 @@ def fit_arrays(columns: list[FitColumn], cfg: ValidationConfig) -> dict:
     }
 
     col_models = []
+    stale_has_outliers = False
     for col_ix, col in enumerate(ctx.columns):
-        w = _ColumnFit(ctx, col)
+        w = _ColumnFit(ctx, col, stale_has_outliers)
         if col.kind == "numeric":
             if ctx.skip_col.get(col.name):
                 continue
             w.fit_numeric()
         else:
             w.fit_categ(is_ord=(col.kind == "ordinal"))
+        stale_has_outliers = w.has_outliers
 
         if not w.clusters or not w.trees or _tree_not_needed(w.trees[0]):
             continue
@@ -867,11 +883,7 @@ def fit_arrays(columns: list[FitColumn], cfg: ValidationConfig) -> dict:
         "nrows_fit": nrows,
         "columns": col_models,
     }
-    model["_train_rows"] = {
-        "scores": final["scores"], "col": final["col"],
-        "cluster": final["cluster"], "tree": final["tree"],
-        "depth": final["depth"],
-    }
+    model["_train_rows"] = final
     return model
 
 

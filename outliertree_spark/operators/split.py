@@ -154,7 +154,11 @@ def split_categx_numericy(ix: np.ndarray, codes: np.ndarray, y: np.ndarray,
 
     rc, rs, rs2 = int(cnt[:ncat_x].sum()), LD(s[:ncat_x].sum()), LD(s2[:ncat_x].sum())
     lc, ls, ls2 = 0, LD(0.0), LD(0.0)
-    best_gain = NEG_INF
+    # NOTE reference quirk (split.cpp:510-517): the running best is stored
+    # already multiplied by sd_y, but each candidate is compared in z-units
+    # -- so with sd_y > 1 the first qualifying subset effectively wins.
+    # Mirrored exactly; verified by tools/diff_vs_reference.py.
+    best_gain_scaled = NEG_INF
     best_cat_pos = -1
     for pos in range(st_cat, ncat_x):
         c = order[pos]
@@ -164,12 +168,12 @@ def split_categx_numericy(ix: np.ndarray, codes: np.ndarray, y: np.ndarray,
             continue
         resid = na_info + branch_info(lc, ls, ls2) + branch_info(rc, rs, rs2)
         g = float(LD(1.0) - resid / tot)
-        if g > best_gain:
-            best_gain = g
+        if g > best_gain_scaled:
+            best_gain_scaled = g * sd_y
             best_cat_pos = pos
     if best_cat_pos < 0:
         return res
-    res.gain = best_gain * sd_y
+    res.gain = best_gain_scaled
     if x_is_ordinal:
         res.split_lev = best_cat_pos
     else:

@@ -1,0 +1,190 @@
+"""Differential test: our NumPy fit vs the compiled reference C++ core.
+
+Usage: python tools/diff_vs_reference.py [n_cases]
+Requires /tmp/ref_harness built via:
+  g++ -O2 -std=c++11 -fopenmp -I/root/reference/src \
+      tools/ref_harness.cpp /root/reference/src/{fit_model,split,clusters,\
+      cat_outlier,misc,predict}.cpp -o /tmp/ref_harness
+Compares flagged-row sets, per-row scores/depths and cluster bounds.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from outliertree_spark.config import ValidationConfig  # noqa: E402
+from outliertree_spark.operators.fit import FitColumn, fit_arrays  # noqa: E402
+
+HARNESS = "/tmp/ref_harness"
+
+
+def run_reference(num_cols, cat_cols, ord_cols=(), mode_args=("0", "0", "1")):
+    cols0 = num_cols or [c for c, _ in cat_cols] or [c for c, _ in ord_cols]
+    n = cols0[0].shape[0]
+    lines = [f"{n} {len(num_cols)} {len(cat_cols)} {len(ord_cols)} "
+             + " ".join(str(nc) for _, nc in cat_cols) + " "
+             + " ".join(str(nc) for _, nc in ord_cols)]
+    for r in range(n):
+        parts = []
+        for c in num_cols:
+            v = c[r]
+            parts.append("nan" if not np.isfinite(v) else repr(float(v)))
+        for c, _ in cat_cols:
+            parts.append(str(int(c[r])))
+        for c, _ in ord_cols:
+            parts.append(str(int(c[r])))
+        lines.append(" ".join(parts))
+    out = subprocess.run([HARNESS, *mode_args], input="\n".join(lines),
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    rows = {}
+    for ln in out.stdout.splitlines()[1:]:
+        f = ln.split()
+        rows[int(f[0])] = {"col": int(f[1]), "score": float(f[2]),
+                           "depth": int(f[3]), "nab": bool(int(f[4])),
+                           "size": int(f[5]), "lo": float(f[6]),
+                           "hi": float(f[7])}
+    return rows
+
+
+def run_ours(num_cols, cat_cols, ord_cols=(), cfg=None):
+    cols = [FitColumn(f"num{i}", "numeric", c.astype(float))
+            for i, c in enumerate(num_cols)]
+    cols += [FitColumn(f"cat{i}", "categorical", c.astype(np.int64),
+                       levels=[f"l{j}" for j in range(nc)])
+             for i, (c, nc) in enumerate(cat_cols)]
+    cols += [FitColumn(f"ord{i}", "ordinal", c.astype(np.int64),
+                       levels=[f"o{j}" for j in range(nc)])
+             for i, (c, nc) in enumerate(ord_cols)]
+    m = fit_arrays(cols, cfg or ValidationConfig())
+    tr = m["_train_rows"]
+    rows = {}
+    name_to_global = {cm["name"]: i for i, cm in enumerate(m["columns"])}
+    for r in np.flatnonzero(tr["scores"] < 1.0):
+        cm = m["columns"][tr["col"][r]]
+        cl = cm["clusters"][tr["cluster"][r]]
+        rows[int(r)] = {"name": cm["name"], "score": float(tr["scores"][r]),
+                        "depth": int(tr["depth"][r]), "nab": bool(tr["nab"][r]),
+                        "size": int(cl["cluster_size"]),
+                        "lo": cl["lower_lim"], "hi": cl["upper_lim"]}
+    return rows, m
+
+
+def gen_case(seed: int):
+    rng = np.random.RandomState(seed)
+    n = int(rng.choice([300, 1200, 3000, 8000]))
+    kind = seed % 10
+    num_cols, cat_cols, ord_cols = [], [], []
+    mode = ("0", "0", "1")
+    cfg = ValidationConfig()
+    if kind == 0:  # plain normal + planted extremes
+        x = rng.normal(0, 1, n)
+        x[rng.randint(n)] = rng.choice([-1, 1]) * rng.uniform(50, 1e5)
+        num_cols = [x, rng.normal(5, 2, n)]
+        cat_cols = [(rng.randint(0, 3, n), 3)]
+    elif kind == 1:  # conditional structure
+        g = rng.randint(0, 2, n)
+        y = np.where(g == 1, rng.normal(100, 5, n), rng.normal(0, 1, n))
+        y[np.flatnonzero(g == 1)[0]] = 400.0
+        num_cols = [y]
+        cat_cols = [(g, 2)]
+    elif kind == 2:  # NAs in predictor
+        g = rng.randint(0, 3, n)
+        g[rng.rand(n) < 0.15] = -1
+        y = rng.normal(10, 3, n) + np.where(g >= 0, g, 0) * 20
+        y[rng.randint(n)] = 1e4
+        num_cols = [y]
+        cat_cols = [(g, 3)]
+    elif kind == 3:  # lognormal (transform path)
+        y = np.exp(rng.normal(0, 1.2, n))
+        y[rng.randint(n)] = y.max() * 1e4
+        num_cols = [y, rng.normal(0, 1, n)]
+        cat_cols = []
+    elif kind == 4:  # categorical target w/ rare category
+        y = rng.choice(4, n, p=[0.5, 0.3, 0.19, 0.01])
+        x = rng.normal(y.astype(float), 0.5)
+        num_cols = [x]
+        cat_cols = [(y, 4)]
+    elif kind == 5:  # deep multi-predictor interactions
+        g1 = rng.randint(0, 2, n)
+        g2 = rng.randint(0, 4, n)
+        x1 = rng.normal(0, 1, n)
+        y = g1 * 50 + g2 * 10 + np.where(x1 > 0, 20, 0) + rng.normal(0, 1, n)
+        y[rng.randint(n)] += 5000
+        num_cols = [y, x1]
+        cat_cols = [(g1, 2), (g2, 4)]
+    elif kind == 6:  # ordinal predictor
+        o = rng.randint(0, 4, n)
+        y = o * 25 + rng.normal(0, 2, n)
+        y[rng.randint(n)] = -3000
+        num_cols = [y]
+        ord_cols = [(o, 4)]
+    elif kind == 7:  # NaNs in the target itself + extreme
+        y = rng.normal(0, 1, n)
+        y[rng.rand(n) < 0.1] = np.nan
+        fin = np.flatnonzero(np.isfinite(y))
+        y[fin[0]] = 7e4
+        num_cols = [y, rng.normal(0, 3, n)]
+        cat_cols = [(rng.randint(0, 2, n), 2)]
+    elif kind == 8:  # majority mode
+        g = rng.randint(0, 2, n)
+        y = np.where(g == 1, 0, 1)
+        flip = rng.rand(n) < 0.001
+        y = np.where(flip, 2, y)
+        num_cols = [rng.normal(0, 1, n)]
+        cat_cols = [(y.astype(np.int64), 3), (g, 2)]
+        mode = ("1", "0", "1")
+        cfg = ValidationConfig(categ_outliers="majority")
+    else:  # bruteforce subset mode, multi-cat x multi-cat
+        gx = rng.randint(0, 5, n)
+        y = (gx % 3).astype(np.int64)
+        noise = rng.rand(n) < 0.002
+        y = np.where(noise, (y + 1) % 3, y)
+        num_cols = [rng.normal(0, 1, n)]
+        cat_cols = [(y, 3), (gx, 5)]
+        mode = ("0", "1", "0")
+        cfg = ValidationConfig(categ_split="bruteforce")
+    return num_cols, cat_cols, ord_cols, mode, cfg
+
+
+def main(n_cases: int = 20) -> int:
+    n_fail = 0
+    for seed in range(n_cases):
+        num_cols, cat_cols, ord_cols, mode, cfg = gen_case(seed)
+        ref = run_reference(num_cols, cat_cols, ord_cols, mode)
+        ours, model = run_ours(num_cols, cat_cols, ord_cols, cfg)
+        same_rows = set(ref) == set(ours)
+        score_ok = all(
+            abs(ref[r]["score"] - ours[r]["score"])
+            <= 1e-6 + 1e-6 * abs(ref[r]["score"])
+            for r in ref if r in ours)
+        depth_ok = all(ref[r]["depth"] == ours[r]["depth"]
+                       for r in ref if r in ours)
+        lim_ok = all(
+            (np.isinf(ref[r]["lo"]) and np.isinf(ours[r]["lo"]))
+            or abs(ref[r]["lo"] - ours[r]["lo"]) <= 1e-6 * max(1, abs(ref[r]["lo"]))
+            for r in ref if r in ours) and all(
+            (np.isinf(ref[r]["hi"]) and np.isinf(ours[r]["hi"]))
+            or abs(ref[r]["hi"] - ours[r]["hi"]) <= 1e-6 * max(1, abs(ref[r]["hi"]))
+            for r in ref if r in ours)
+        status = "OK " if (same_rows and score_ok and depth_ok and lim_ok) \
+            else "FAIL"
+        if status == "FAIL":
+            n_fail += 1
+        print(f"{status} seed={seed} ref_flagged={len(ref)} "
+              f"ours_flagged={len(ours)} rows_match={same_rows} "
+              f"scores={score_ok} depths={depth_ok} lims={lim_ok}")
+        if status == "FAIL" and len(ref) < 15 and len(ours) < 15:
+            print("   ref :", {k: (v['score'], v['depth']) for k, v in sorted(ref.items())})
+            print("   ours:", {k: (v['score'], v['depth']) for k, v in sorted(ours.items())})
+    print(f"\n{n_cases - n_fail}/{n_cases} cases match the reference core")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 20))
