@@ -23,12 +23,9 @@ from outliertree_spark.operators.fit import FitColumn, fit_arrays  # noqa: E402
 HARNESS = "/tmp/ref_harness"
 
 
-def run_reference(num_cols, cat_cols, ord_cols=(), mode_args=("0", "0", "1")):
-    cols0 = num_cols or [c for c, _ in cat_cols] or [c for c, _ in ord_cols]
-    n = cols0[0].shape[0]
-    lines = [f"{n} {len(num_cols)} {len(cat_cols)} {len(ord_cols)} "
-             + " ".join(str(nc) for _, nc in cat_cols) + " "
-             + " ".join(str(nc) for _, nc in ord_cols)]
+def _fmt_rows(num_cols, cat_cols, ord_cols):
+    n = (num_cols or [c for c, _ in cat_cols] or [c for c, _ in ord_cols])[0].shape[0]
+    lines = []
     for r in range(n):
         parts = []
         for c in num_cols:
@@ -39,17 +36,40 @@ def run_reference(num_cols, cat_cols, ord_cols=(), mode_args=("0", "0", "1")):
         for c, _ in ord_cols:
             parts.append(str(int(c[r])))
         lines.append(" ".join(parts))
-    out = subprocess.run([HARNESS, *mode_args], input="\n".join(lines),
-                         capture_output=True, text=True, timeout=300)
-    assert out.returncode == 0, out.stderr
+    return n, lines
+
+
+def _parse_rows(lines):
     rows = {}
-    for ln in out.stdout.splitlines()[1:]:
+    for ln in lines:
         f = ln.split()
         rows[int(f[0])] = {"col": int(f[1]), "score": float(f[2]),
                            "depth": int(f[3]), "nab": bool(int(f[4])),
                            "size": int(f[5]), "lo": float(f[6]),
                            "hi": float(f[7])}
     return rows
+
+
+def run_reference(num_cols, cat_cols, ord_cols=(), mode_args=("0", "0", "1"),
+                  predict_cols=None):
+    n, lines = _fmt_rows(num_cols, cat_cols, ord_cols)
+    header = (f"{n} {len(num_cols)} {len(cat_cols)} {len(ord_cols)} "
+              + " ".join(str(nc) for _, nc in cat_cols) + " "
+              + " ".join(str(nc) for _, nc in ord_cols))
+    body = [header] + lines
+    if predict_cols is not None:
+        n2, lines2 = _fmt_rows(*predict_cols)
+        body += [str(n2)] + lines2
+    out = subprocess.run([HARNESS, *mode_args], input="\n".join(body),
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    stdout = out.stdout.splitlines()
+    if "PREDICT" in stdout:
+        cut = stdout.index("PREDICT")
+        fit_rows = _parse_rows(stdout[1:cut])
+        pred_rows = _parse_rows(stdout[cut + 1:])
+        return fit_rows, pred_rows
+    return _parse_rows(stdout[1:])
 
 
 def run_ours(num_cols, cat_cols, ord_cols=(), cfg=None):
@@ -152,12 +172,71 @@ def gen_case(seed: int):
     return num_cols, cat_cols, ord_cols, mode, cfg
 
 
+def gen_predict_case(seed: int, num_cols, cat_cols, ord_cols):
+    """Held-out rows in the train distribution plus planted extremes and
+    unseen-ish codes for the predict diff."""
+    rng = np.random.RandomState(10_000 + seed)
+    m = 500
+    p_num, p_cat, p_ord = [], [], []
+    for c in num_cols:
+        fin = c[np.isfinite(c)]
+        v = rng.normal(fin.mean(), max(fin.std(), 1e-6), m)
+        v[rng.rand(m) < 0.02] = np.nan
+        v[0] = fin.mean() + 100 * max(fin.std(), 1.0)   # extreme high
+        v[1] = fin.mean() - 100 * max(fin.std(), 1.0)   # extreme low
+        p_num.append(v)
+    for c, nc in cat_cols:
+        v = rng.randint(0, nc, m)
+        v[rng.rand(m) < 0.02] = -1
+        p_cat.append((v, nc))
+    for c, nc in ord_cols:
+        v = rng.randint(0, nc, m)
+        p_ord.append((v, nc))
+    return p_num, p_cat, p_ord
+
+
+def run_ours_predict(model, p_num, p_cat, p_ord):
+    from outliertree_spark.operators.predict import predict_batch
+    data = {}
+    for i, c in enumerate(p_num):
+        data[f"num{i}"] = c.astype(float)
+    for i, (c, _) in enumerate(p_cat):
+        data[f"cat{i}"] = c.astype(np.int64)
+    for i, (c, _) in enumerate(p_ord):
+        data[f"ord{i}"] = c.astype(np.int64)
+    res = predict_batch(model, data)
+    rows = {}
+    for r in np.flatnonzero(res.score < 1.0):
+        cm = model["columns"][res.col[r]]
+        cl = cm["clusters"][res.cluster[r]]
+        rows[int(r)] = {"score": float(res.score[r]),
+                        "depth": int(res.depth[r]), "nab": bool(res.nab[r]),
+                        "size": int(cl["cluster_size"]),
+                        "lo": cl["lower_lim"], "hi": cl["upper_lim"]}
+    return rows
+
+
 def main(n_cases: int = 20) -> int:
+    from outliertree_spark.model import attach_conditions
     n_fail = 0
     for seed in range(n_cases):
         num_cols, cat_cols, ord_cols, mode, cfg = gen_case(seed)
-        ref = run_reference(num_cols, cat_cols, ord_cols, mode)
+        p_num, p_cat, p_ord = gen_predict_case(seed, num_cols, cat_cols, ord_cols)
+        ref, ref_pred = run_reference(num_cols, cat_cols, ord_cols, mode,
+                                      predict_cols=(p_num, p_cat, p_ord))
         ours, model = run_ours(num_cols, cat_cols, ord_cols, cfg)
+        model["predictor_levels"] = {}
+        for i, (_, nc) in enumerate(cat_cols):
+            model["predictor_levels"][f"cat{i}"] = [f"l{j}" for j in range(nc)]
+        for i, (_, nc) in enumerate(ord_cols):
+            model["predictor_levels"][f"ord{i}"] = [f"o{j}" for j in range(nc)]
+        ours_pred = run_ours_predict(model, p_num, p_cat, p_ord)
+        pred_rows_ok = set(ref_pred) == set(ours_pred)
+        pred_score_ok = all(
+            abs(ref_pred[r]["score"] - ours_pred[r]["score"])
+            <= 1e-6 + 1e-6 * abs(ref_pred[r]["score"])
+            for r in ref_pred if r in ours_pred)
+        pred_ok = pred_rows_ok and pred_score_ok
         same_rows = set(ref) == set(ours)
         score_ok = all(
             abs(ref[r]["score"] - ours[r]["score"])
@@ -172,13 +251,17 @@ def main(n_cases: int = 20) -> int:
             (np.isinf(ref[r]["hi"]) and np.isinf(ours[r]["hi"]))
             or abs(ref[r]["hi"] - ours[r]["hi"]) <= 1e-6 * max(1, abs(ref[r]["hi"]))
             for r in ref if r in ours)
-        status = "OK " if (same_rows and score_ok and depth_ok and lim_ok) \
-            else "FAIL"
+        status = "OK " if (same_rows and score_ok and depth_ok and lim_ok
+                           and pred_ok) else "FAIL"
         if status == "FAIL":
             n_fail += 1
         print(f"{status} seed={seed} ref_flagged={len(ref)} "
               f"ours_flagged={len(ours)} rows_match={same_rows} "
-              f"scores={score_ok} depths={depth_ok} lims={lim_ok}")
+              f"scores={score_ok} depths={depth_ok} lims={lim_ok} "
+              f"predict={pred_ok} ({len(ref_pred)}/{len(ours_pred)})")
+        if not pred_ok and len(ref_pred) < 12 and len(ours_pred) < 12:
+            print("   ref_pred :", {k: round(v['score'], 6) for k, v in sorted(ref_pred.items())})
+            print("   ours_pred:", {k: round(v['score'], 6) for k, v in sorted(ours_pred.items())})
         if status == "FAIL" and len(ref) < 15 and len(ours) < 15:
             print("   ref :", {k: (v['score'], v['depth']) for k, v in sorted(ref.items())})
             print("   ours:", {k: (v['score'], v['depth']) for k, v in sorted(ours.items())})

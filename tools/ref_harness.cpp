@@ -76,6 +76,39 @@ int main(int argc, char **argv) {
                    c.lower_lim, c.upper_lim);
         }
     }
+    /* optional predict block: nrows2 then rows in the same layout; runs
+       the reference's find_new_outliers on the fitted model */
+    size_t nrows2 = 0;
+    if (std::cin >> nrows2 && nrows2 > 0) {
+        std::vector<double> num2(nrows2 * ncols_num);
+        std::vector<int> cat2(nrows2 * ncols_cat);
+        std::vector<int> ord2(nrows2 * ncols_ord);
+        for (size_t r = 0; r < nrows2; r++) {
+            for (size_t c = 0; c < ncols_num; c++) {
+                std::cin >> tok;
+                num2[r + c * nrows2] = (tok == "nan")
+                    ? std::numeric_limits<double>::quiet_NaN() : std::stod(tok);
+            }
+            for (size_t c = 0; c < ncols_cat; c++) std::cin >> cat2[r + c * nrows2];
+            for (size_t c = 0; c < ncols_ord; c++) std::cin >> ord2[r + c * nrows2];
+        }
+        find_new_outliers(num2.data(), cat2.data(), ord2.data(),
+                          nrows2, 1, model);
+        printf("PREDICT\n");
+        for (size_t r = 0; r < nrows2; r++) {
+            if (model.outlier_scores_final[r] < 1.0) {
+                size_t col = model.outlier_columns_final[r];
+                size_t cl = model.outlier_clusters_final[r];
+                const Cluster &c = model.all_clusters[col][cl];
+                printf("%zu %zu %.12g %zu %d %zu %.12g %.12g\n",
+                       r, col, model.outlier_scores_final[r],
+                       model.outlier_depth_final[r],
+                       (int)c.has_NA_branch, c.cluster_size,
+                       c.lower_lim, c.upper_lim);
+            }
+        }
+    }
+
     /* structural dump for tree-level diffing */
     if (argc > 4 && atoi(argv[4])) {
         size_t tot_cols = ncols_num + ncols_cat + ncols_ord;
