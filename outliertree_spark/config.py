@@ -41,11 +41,6 @@ class ValidationConfig:
         assert self.categ_split in ("binarize", "bruteforce", "separate")
         assert self.categ_outliers in ("tail", "majority")
         assert self.numeric_split in ("mid", "raw")
-        if self.follow_all:
-            raise NotImplementedError(
-                "follow_all=True (explore every qualifying branch; reference "
-                "fit_model.cpp:116-119 documents it as 'much slower') is not "
-                "implemented yet")
 
     @property
     def z_tail(self) -> float:

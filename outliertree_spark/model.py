@@ -63,6 +63,35 @@ def _cond_from_tree_edge(parent: dict, child: dict, levels_by_col: dict) -> dict
     kind = parent.get("col_kind")
     if br == "root":
         return None
+    if br == "allbranch":
+        own = child.get("own") or {}
+        ocol, okind = own.get("col"), own.get("kind")
+        if ocol is None:
+            return None
+        levels = levels_by_col.get(ocol)
+        b = own["branch"]
+        if b == "isna":
+            return {"column": ocol, "comparison": "is NA", "value_comp": None,
+                    "kind": okind}
+        if okind == "numeric":
+            return {"column": ocol, "comparison": "<=" if b == "le" else ">",
+                    "value_comp": own["point"], "kind": okind}
+        if b == "eq":
+            return {"column": ocol, "comparison": "=",
+                    "value_comp": levels[own["lev"]], "kind": okind}
+        if b == "le":
+            return {"column": ocol, "comparison": "in",
+                    "value_comp": [levels[i] for i in range(own["lev"] + 1)],
+                    "kind": okind}
+        if b == "gt":
+            return {"column": ocol, "comparison": "in",
+                    "value_comp": [levels[i] for i in range(own["lev"] + 1, len(levels))],
+                    "kind": okind}
+        ss = own.get("subset") or []
+        want = 1 if b == "in" else 0
+        return {"column": ocol, "comparison": "in",
+                "value_comp": [levels[i] for i, s in enumerate(ss) if s == want],
+                "kind": okind}
     if br == "subtrees":
         lev = child.get("branch_lev")
         if lev is None or col is None:

@@ -195,6 +195,26 @@ class _ColumnFit:
         for c in self.ctx.ordinal:
             yield c, "ordinal"
 
+    def _follow_all_subtree(self, rows, tree_from: int, depth: int,
+                            is_na_branch: bool, own: dict,
+                            push_col: str | None, rec_fn) -> None:
+        """follow_all mode: recurse into this qualifying branch as its own
+        subtree (reference all_branches, fit_model.cpp:644-654 etc.)."""
+        cfg = self.cfg
+        if not cfg.follow_all or (depth + 1) >= cfg.max_depth:
+            return
+        child = len(self.trees)
+        self.trees[tree_from]["all_branches"].append(child)
+        t = _new_tree(tree_from, "allbranch", depth + 1)
+        t["own"] = own
+        self.trees.append(t)
+        pushed = []
+        if push_col is not None:
+            self.exhausted.add(push_col)
+            pushed.append(push_col)
+        rec_fn(rows, child, depth + 1, is_na_branch)
+        self._restore_exhausted(pushed)
+
     def _drop_tree_if_not_needed(self, tree_ix: int) -> None:
         t = self.trees[tree_ix]
         needed = (
@@ -209,6 +229,12 @@ class _ColumnFit:
             return
         parent = self.trees[t["parent"]]
         br = t["parent_branch"]
+        if br == "allbranch":
+            if parent["all_branches"] and parent["all_branches"][-1] == tree_ix:
+                parent["all_branches"].pop()
+                if tree_ix == len(self.trees) - 1:
+                    self.trees.pop()
+            return
         if parent["binary_branches"] and tree_ix in parent["binary_branches"]:
             parent["binary_branches"] = [0 if b == tree_ix else b
                                          for b in parent["binary_branches"]]
@@ -351,32 +377,49 @@ class _ColumnFit:
                 na_ix, left_ix, right_ix = res.na_ix, res.left_ix, res.right_ix
                 ct, sp, ss, sl = "numeric", res.split_point, None, None
                 st_l, st_r = "le", "gt"
+                push_lr = None
             elif kind == "categorical":
                 na_ix, left_ix, right_ix = self._branch_partition_categ_x(
                     ix, pred.values, res.split_subset)
                 ct, sp, ss, sl = "categorical", None, res.split_subset, None
                 st_l, st_r = "in", "notin"
+                push_lr = pred.name if (len(pred.levels) == 2
+                                        or res.is_binary_split) else None
             else:
                 na_ix, left_ix, right_ix = self._branch_partition_ord_x(
                     ix, pred.values, res.split_lev)
                 ct, sp, ss, sl = "ordinal", None, None, res.split_lev
                 st_l, st_r = "le", "gt"
+                push_lr = pred.name if res.is_binary_split else None
+
+            def _own(branch):
+                return {"col": pred.name, "kind": kind, "branch": branch,
+                        "point": sp,
+                        "subset": [int(x) for x in ss] if ss is not None else None,
+                        "lev": sl}
 
             if na_ix.shape[0] > cfg.min_size_numeric:
                 f = self._define_num_cluster_branch(
                     na_ix, ct, pred.name, kind, "isna", None, None, None,
                     True, tree_from, depth + 1)
                 lev_has_outliers |= f
+                self._follow_all_subtree(na_ix, tree_from, depth, True,
+                                         _own("isna"), pred.name,
+                                         self._rec_num_follow)
             f = self._define_num_cluster_branch(
                 left_ix, ct, pred.name, kind, st_l, sp, ss, sl,
                 is_na_branch, tree_from, depth + 1)
             lev_has_outliers |= f
+            self._follow_all_subtree(left_ix, tree_from, depth, is_na_branch,
+                                     _own(st_l), push_lr, self._rec_num_follow)
             f = self._define_num_cluster_branch(
                 right_ix, ct, pred.name, kind, st_r, sp, ss, sl,
                 is_na_branch, tree_from, depth + 1)
             lev_has_outliers |= f
+            self._follow_all_subtree(right_ix, tree_from, depth, is_na_branch,
+                                     _own(st_r), push_lr, self._rec_num_follow)
 
-            if best is None or gain > best[0]:
+            if (best is None or gain > best[0]) and not cfg.follow_all:
                 best = (gain, pred, kind, res)
 
         self.col_has_outliers |= lev_has_outliers
@@ -432,6 +475,12 @@ class _ColumnFit:
 
         self._drop_tree_if_not_needed(tree_from)
         self._restore_exhausted(exhausted_here)
+
+    def _rec_num_follow(self, rows, child, depth, is_na_branch):
+        self._rec_numeric(rows, child, depth, is_na_branch, 1.0, 0.0)
+
+    def _rec_categ_follow(self, rows, child, depth, is_na_branch):
+        self._rec_categ(rows, child, depth, is_na_branch)
 
     @staticmethod
     def _partition_num_x(ix, x, split_point):
@@ -620,18 +669,33 @@ class _ColumnFit:
             if not (gain >= cfg.min_gain):
                 continue
 
+            def _own(branch, point=None, subset=None, lev=None):
+                return {"col": pred.name, "kind": kind, "branch": branch,
+                        "point": point,
+                        "subset": [int(x) for x in subset] if subset is not None else None,
+                        "lev": lev}
+
             if kind == "numeric":
                 na_ix, left_ix, right_ix = res.na_ix, res.left_ix, res.right_ix
                 if na_ix.shape[0] > cfg.min_size_categ:
                     lev_has_outliers |= self._define_categ_cluster_branch(
                         na_ix, "numeric", pred.name, kind, "isna",
                         None, None, None, True, tree_from, depth + 1)
+                    self._follow_all_subtree(na_ix, tree_from, depth, True,
+                                             _own("isna"), pred.name,
+                                             self._rec_categ_follow)
                 lev_has_outliers |= self._define_categ_cluster_branch(
                     left_ix, "numeric", pred.name, kind, "le",
                     res.split_point, None, None, is_na_branch, tree_from, depth + 1)
+                self._follow_all_subtree(left_ix, tree_from, depth, is_na_branch,
+                                         _own("le", point=res.split_point),
+                                         None, self._rec_categ_follow)
                 lev_has_outliers |= self._define_categ_cluster_branch(
                     right_ix, "numeric", pred.name, kind, "gt",
                     res.split_point, None, None, is_na_branch, tree_from, depth + 1)
+                self._follow_all_subtree(right_ix, tree_from, depth, is_na_branch,
+                                         _own("gt", point=res.split_point),
+                                         None, self._rec_categ_follow)
             elif kind == "categorical":
                 ncat_x = len(pred.levels)
                 xv = pred.values[ix]
@@ -640,6 +704,9 @@ class _ColumnFit:
                     lev_has_outliers |= self._define_categ_cluster_branch(
                         na_ix, "categorical", pred.name, kind, "isna",
                         None, None, None, True, tree_from, depth + 1)
+                    self._follow_all_subtree(na_ix, tree_from, depth, True,
+                                             _own("isna"), pred.name,
+                                             self._rec_categ_follow)
                 if mode == "separate" and ncat_x > 2:
                     present = [c for c in range(ncat_x)
                                if (pred.values[ix] == c).any()]
@@ -653,6 +720,10 @@ class _ColumnFit:
                             lev_has_outliers |= self._define_categ_cluster_branch(
                                 rows, "categorical", pred.name, kind, "eq",
                                 None, None, cat_x, is_na_branch, tree_from, depth + 1)
+                            self._follow_all_subtree(
+                                rows, tree_from, depth, is_na_branch,
+                                _own("eq", lev=cat_x), pred.name,
+                                self._rec_categ_follow)
                 else:
                     if ncat_x == 2:
                         subset = np.array([1, 0], dtype=np.int8)
@@ -666,28 +737,46 @@ class _ColumnFit:
                         subset = res.split_subset
                         _, l_ix, r_ix = self._branch_partition_categ_x(
                             ix, pred.values, subset)
+                    push_lr = pred.name if (ncat_x == 2 or res.is_binary_split) \
+                        else None
                     lev_has_outliers |= self._define_categ_cluster_branch(
                         l_ix, "categorical", pred.name, kind, "in",
                         None, subset, None, is_na_branch, tree_from, depth + 1)
+                    self._follow_all_subtree(l_ix, tree_from, depth, is_na_branch,
+                                             _own("in", subset=subset), push_lr,
+                                             self._rec_categ_follow)
                     lev_has_outliers |= self._define_categ_cluster_branch(
                         r_ix, "categorical", pred.name, kind, "notin",
                         None, subset, None, is_na_branch, tree_from, depth + 1)
+                    self._follow_all_subtree(r_ix, tree_from, depth, is_na_branch,
+                                             _own("notin", subset=subset), push_lr,
+                                             self._rec_categ_follow)
                     res.split_subset = subset
             else:
                 na_ix, left_ix, right_ix = self._branch_partition_ord_x(
                     ix, pred.values, res.split_lev)
+                push_lr = pred.name if res.is_binary_split else None
                 if na_ix.shape[0] > cfg.min_size_categ:
                     lev_has_outliers |= self._define_categ_cluster_branch(
                         na_ix, "ordinal", pred.name, kind, "isna",
                         None, None, None, True, tree_from, depth + 1)
+                    self._follow_all_subtree(na_ix, tree_from, depth, True,
+                                             _own("isna"), pred.name,
+                                             self._rec_categ_follow)
                 lev_has_outliers |= self._define_categ_cluster_branch(
                     left_ix, "ordinal", pred.name, kind, "le",
                     None, None, res.split_lev, is_na_branch, tree_from, depth + 1)
+                self._follow_all_subtree(left_ix, tree_from, depth, is_na_branch,
+                                         _own("le", lev=res.split_lev), push_lr,
+                                         self._rec_categ_follow)
                 lev_has_outliers |= self._define_categ_cluster_branch(
                     right_ix, "ordinal", pred.name, kind, "gt",
                     None, None, res.split_lev, is_na_branch, tree_from, depth + 1)
+                self._follow_all_subtree(right_ix, tree_from, depth, is_na_branch,
+                                         _own("gt", lev=res.split_lev), push_lr,
+                                         self._rec_categ_follow)
 
-            if best is None or gain > best[0]:
+            if (best is None or gain > best[0]) and not cfg.follow_all:
                 best = (gain, pred, kind, res, mode)
 
         self.col_has_outliers |= lev_has_outliers

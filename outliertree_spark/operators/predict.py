@@ -104,6 +104,45 @@ def _cond_mask(cl: dict, data: dict, levels_count: dict, rows: np.ndarray) -> np
     return ok
 
 
+def _own_cond_mask(own: dict, data: dict, levels_count: dict,
+                   rows: np.ndarray) -> np.ndarray:
+    """Evaluate a follow_all branch's own entry condition."""
+    col = own.get("col")
+    if col is None or col not in data:
+        return np.zeros(rows.shape[0], dtype=bool)
+    branch = own["branch"]
+    kind = own["kind"]
+    xv = data[col][rows]
+    if kind == "numeric":
+        if branch == "isna":
+            return np.isnan(xv)
+        if branch == "le":
+            return ~np.isnan(xv) & (xv <= own["point"])
+        if branch == "gt":
+            return ~np.isnan(xv) & (xv > own["point"])
+        return np.zeros(rows.shape[0], dtype=bool)
+    ncat = levels_count.get(col, 0)
+    seen = xv < ncat
+    if branch == "isna":
+        return seen & (xv < 0)
+    if branch == "eq":
+        return seen & (xv == own["lev"])
+    if branch == "le":
+        return seen & (xv >= 0) & (xv <= own["lev"])
+    if branch == "gt":
+        return seen & (xv >= 0) & (xv > own["lev"])
+    ss = np.asarray(own.get("subset") or [], dtype=np.int64)
+    if ss.shape[0] == 0:
+        return np.zeros(rows.shape[0], dtype=bool)
+    out = np.zeros(rows.shape[0], dtype=bool)
+    nn = seen & (xv >= 0)
+    if branch == "in":
+        out[nn] = ss[xv[nn]] == 1
+    elif branch == "notin":
+        out[nn] = ss[xv[nn]] == 0
+    return out
+
+
 def _take_better(res: BatchResult, rows: np.ndarray, score: np.ndarray,
                  col_ix: int, cl_ix: int, tree_ix: int, depth: int,
                  nab: bool, size: int) -> None:
@@ -228,9 +267,22 @@ def _follow_tree_column(model, cm, col_ix, data, levels_count, rows0, res: Batch
             if rows.shape[0] == 0:
                 continue
 
+        ab = node.get("all_branches") or []
         has_children = (node["tree_NA"] or node["tree_left"] or node["tree_right"]
-                        or (node["binary_branches"] and max(node["binary_branches"]) > 0))
+                        or (node["binary_branches"] and max(node["binary_branches"]) > 0)
+                        or (ab and max(ab) > 0))
         if not has_children:
+            continue
+
+        if ab and max(ab) > 0:
+            # follow_all: every branch whose own condition matches is
+            # explored; no standard routing (predict.cpp:193-376)
+            for br in reversed([b for b in ab if b > 0]):
+                own = trees[br].get("own") or {}
+                mask = _own_cond_mask(own, data, levels_count, rows)
+                sub = rows[mask]
+                if sub.shape[0]:
+                    stack.append((br, sub))
             continue
 
         col = node.get("col")

@@ -170,6 +170,21 @@ def test_gritbot_export(tmp_path):
     assert len(open(data).read().splitlines()) == n
 
 
-def test_follow_all_not_implemented():
-    with pytest.raises(NotImplementedError):
-        ValidationConfig(follow_all=True)
+def test_follow_all_mode():
+    """follow_all explores every qualifying branch as its own subtree."""
+    rng = np.random.RandomState(7)
+    n = 2000
+    preg = rng.rand(n) < 0.12
+    age = np.where(preg, rng.normal(27, 3, n), rng.normal(45, 8, n))
+    planted = int(np.flatnonzero(preg)[0])
+    age[planted] = 75.0
+    cols = [FitColumn("age", "numeric", age.astype(float)),
+            FitColumn("pregnant", "categorical", preg.astype(np.int64),
+                      levels=[False, True], is_bool=True),
+            FitColumn("x", "numeric", rng.normal(0, 1, n))]
+    m = _finish(fit_arrays(cols, ValidationConfig(follow_all=True)), cols)
+    agecm = next(c for c in m["columns"] if c["name"] == "age")
+    assert any(t["all_branches"] for t in agecm["trees"])
+    res = predict_batch(m, {"age": age, "pregnant": preg.astype(np.int64),
+                            "x": np.zeros(n)})
+    assert res.score[planted] < 1.0

@@ -216,11 +216,15 @@ def run_ours_predict(model, p_num, p_cat, p_ord):
     return rows
 
 
-def main(n_cases: int = 20) -> int:
+def main(n_cases: int = 20, follow_all: bool = False) -> int:
     from outliertree_spark.model import attach_conditions
     n_fail = 0
     for seed in range(n_cases):
         num_cols, cat_cols, ord_cols, mode, cfg = gen_case(seed)
+        if follow_all:
+            mode = mode + ("1", "4", "1")  # dump=1(unused pos4), depth, follow
+            mode = mode[:3] + ("0", "4", "1")
+            cfg = ValidationConfig(**{**cfg.to_dict(), "follow_all": True})
         p_num, p_cat, p_ord = gen_predict_case(seed, num_cols, cat_cols, ord_cols)
         ref, ref_pred = run_reference(num_cols, cat_cols, ord_cols, mode,
                                       predict_cols=(p_num, p_cat, p_ord))
@@ -270,4 +274,6 @@ def main(n_cases: int = 20) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 20))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    fa = len(sys.argv) > 2 and sys.argv[2] == "--follow-all"
+    sys.exit(main(n, follow_all=fa))

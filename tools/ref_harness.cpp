@@ -25,6 +25,8 @@ int main(int argc, char **argv) {
     if (argc > 2) cat_bruteforce = atoi(argv[2]);
     if (argc > 3) categ_as_bin = atoi(argv[3]);
     if (argc > 5) max_depth = (size_t)atoi(argv[5]);
+    int follow_all = 0;
+    if (argc > 6) follow_all = atoi(argv[6]);
     std::cin >> nrows >> ncols_num >> ncols_cat >> ncols_ord;
     std::vector<int> ncat(ncols_cat), ncat_ord(ncols_ord);
     for (size_t i = 0; i < ncols_cat; i++) std::cin >> ncat[i];
@@ -60,7 +62,7 @@ int main(int argc, char **argv) {
         /*take_mid=*/false,
         max_depth, /*max_perc_outliers=*/0.01,
         /*min_size_numeric=*/25, /*min_size_categ=*/50,
-        /*min_gain=*/1e-2, /*gain_as_pct=*/true, /*follow_all=*/false,
+        /*min_gain=*/1e-2, /*gain_as_pct=*/true, (bool)follow_all,
         /*z_norm=*/2.67, /*z_outlier=*/8.0);
 
     printf("found=%d\n", (int)found);
