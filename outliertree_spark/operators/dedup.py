@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 MERSENNE = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow input out across the cluster before per-row-heavy work.
+
+    Small tables often arrive as a single parquet file (one scan
+    partition); everything downstream would run single-threaded.  At real
+    scale inputs are many files and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, par // 2):
+        return df.repartition(2 * par)
+    return df
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (text_hash, keep_id, n_dups)."""
@@ -34,38 +46,54 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
               .filter(F.col("_rn") == 1).drop("_rn"))
 
 
-def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
-             out_col: str = "shingles") -> DataFrame:
-    """Distinct k-word shingles per document as an array column."""
+def shingle_rows(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) exploded k-word shingles.
+
+    posexplode + window ``lead`` keeps shingle construction in compiled
+    expressions; the array-building ``transform(sequence, slice+concat)``
+    form runs interpreted per element and is ~30x slower."""
+    df = _spread(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return df.withColumn(out_col, F.array_distinct(sh))
+    ex = df.select(F.col(id_col), F.size(toks).alias("_n"),
+                   F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, k)]
+    sh = (ex.withColumn("_sh", F.concat_ws(" ", *parts))
+            .filter(F.col("_pos") <= F.greatest(F.col("_n") - k, F.lit(0))))
+    return sh.select(F.col(id_col), F.col("_sh").alias("shingle")).distinct()
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
+             out_col: str = "shingles", id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-word shingles per document as an array column."""
+    rows = shingle_rows(df, id_col, text_col, k)
+    arrs = rows.groupBy(id_col).agg(F.collect_set("shingle").alias(out_col))
+    return df.join(arrs, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array()))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k_shingle: int = 3,
                        n_hashes: int = 64, seed: int = 42) -> DataFrame:
     """(id, signature array<long>) via n_hashes independent affine hashes
-    over xxhash64 shingle ids, min-folded per document — all in Catalyst
-    higher-order functions (no UDF)."""
+    over xxhash64 shingle ids.
+
+    Shape matters at scale: explode shingles then take 64 ``min`` aggregates
+    — plain arithmetic inside whole-stage codegen with map-side partial
+    aggregation — rather than per-element higher-order lambdas, which
+    Catalyst evaluates interpreted (~20x slower)."""
     import random
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, MERSENNE), rng.randrange(0, MERSENNE))
               for _ in range(n_hashes)]
-    d = shingles(df, text_col, k_shingle, "_sh")
-    hashed = F.transform(F.col("_sh"), lambda s: F.abs(F.xxhash64(s)) % MERSENNE)
-    d = d.withColumn("_hs", hashed).filter(F.size("_hs") > 0)
-
-    def _minhash(a: int, b: int):
-        # closure factory: Spark inspects lambda arity, so captures must
-        # not appear as default args
-        return F.array_min(F.transform(
-            F.col("_hs"), lambda h: (h * F.lit(a) + F.lit(b)) % MERSENNE))
-
-    sig = F.array(*[_minhash(a, b) for a, b in coeffs]).alias("signature")
-    return d.select(F.col(id_col), sig)
+    ex = (shingle_rows(df, id_col, text_col, k_shingle)
+          .withColumn("_h", F.abs(F.xxhash64("shingle")) % MERSENNE))
+    aggs = [F.min((F.col("_h") * F.lit(a) + F.lit(b)) % MERSENNE).alias(f"_m{i}")
+            for i, (a, b) in enumerate(coeffs)]
+    g = ex.groupBy(id_col).agg(*aggs)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("signature")
+    return g.select(F.col(id_col), sig)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -98,6 +126,13 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
                   k_shingle: int = 3) -> DataFrame:
     """Exact Jaccard similarity over word shingles for candidate pairs
     (the verify stage after LSH)."""
+    # the pairs plan is referenced three times below (ids x2 + join);
+    # materialize it once -- candidate pairs are small by construction
+    df_pairs = df_pairs.localCheckpoint(eager=False)
+    # only docs that appear in a candidate pair need their shingles
+    ids = (df_pairs.select(F.col("id_a").alias(id_col))
+           .union(df_pairs.select(F.col("id_b").alias(id_col))).distinct())
+    docs = docs.join(F.broadcast(ids), id_col, "left_semi")
     sh = shingles(docs, text_col, k_shingle, "sh").select(
         F.col(id_col), F.col("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -114,8 +149,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """64-bit SimHash over word tokens: per-bit majority vote of token
     hashes, computed as bit-testing aggregates over the token array."""
     toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
-    d = df.select(F.col(id_col),
-                  F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"))
+    d = _spread(df).select(F.col(id_col),
+                           F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"))
     n = F.size("_th").cast("long")
 
     def _ones(i: int):
