@@ -241,6 +241,41 @@ def q_top_customers_window(spark, sf_dir):
                      F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"))
 
 
+def q_set_ops(spark, sf_dir):
+    """Union / except-distinct over customer segments vs big spenders."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    big = (o.filter(F.col("o_totalprice") > 400000)
+            .select(F.col("o_custkey").alias("c_custkey")))
+    return a.union(b).distinct().subtract(big.distinct())
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE aggregation with subtotal rows."""
+    o = _tbl(spark, sf_dir, "orders")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def q_sessionization(spark, sf_dir):
+    """Sessionization: per user, new session when gap > 30 min; count
+    sessions and events per user (lag + cumulative sum windows)."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("_new", new_sess)
+              .withColumn("session_id", F.sum("_new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 # ----------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only checks)
 # ----------------------------------------------------------------------
@@ -305,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "supplier_agg_rollup": q_supplier_agg_rollup,
         "top_customers_window": q_top_customers_window,
+        "set_ops": q_set_ops,
+        "cube_orders": q_cube_orders,
+        "sessionization": q_sessionization,
         # rows-only (non-SQL-expressible)
         "outlier_validate": q_outlier_validate,
         "minhash_dups": q_minhash_dups,
@@ -533,6 +571,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, s_name)
+        """,
+        "set_ops": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            EXCEPT
+            SELECT o_custkey AS c_custkey FROM orders
+            WHERE o_totalprice > 400000
+        """,
+        "cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        """,
+        "sessionization": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       epoch(ts) - epoch(lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                FROM events),
+            s AS (
+                SELECT user_id, event_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800
+                                THEN 1 ELSE 0 END) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id, max(session_id) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         "top_customers_window": """
             WITH j AS (

@@ -266,6 +266,32 @@ class SparkOutlierTree:
         return expr
 
     # ------------------------------------------------------------------
+    def partition_prune_expr(self, ts_col: str, part_col: str):
+        """Coarse predicate on a date partition column derived from the
+        fitted timestamp flaggable bounds: on a table partitioned by
+        date(ts), this prunes whole partitions at the source (Iceberg /
+        hive-style), before even the row-level prefilter runs."""
+        assert self.model_ is not None
+        cm = next((c for c in self.model_["columns"]
+                   if c["name"] == ts_col and c.get("is_ts")), None)
+        if cm is None:
+            return None
+        lo, hi = cm["min_outlier_any"], cm["max_outlier_any"]
+        terms = []
+        if math.isfinite(lo):
+            terms.append(F.col(part_col)
+                         <= F.to_date(F.timestamp_seconds(F.lit(lo + cm["ts_min"]))))
+        if math.isfinite(hi):
+            terms.append(F.col(part_col)
+                         >= F.to_date(F.timestamp_seconds(F.lit(hi + cm["ts_min"]))))
+        if not terms:
+            return None
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr | t
+        return expr
+
+    # ------------------------------------------------------------------
     def predict(self, df: DataFrame, id_cols: list[str] | None = None,
                 prefilter: bool = True) -> DataFrame:
         """Violation rows for every flaggable row of ``df`` (B8 schema)."""
