@@ -1,0 +1,99 @@
+"""spark-submit entry point for a full validation run.
+
+Usage (the north rule's launch shape):
+
+    zip -r otspark.zip outliertree_spark
+    spark-submit --py-files otspark.zip scripts/run_validate.py \
+        --input /data/docs.parquet --partition-col source \
+        --id-col doc_id --fit-sample 1000000 \
+        --checkpoint /tmp/run1/ledger.jsonl \
+        --violations-out /tmp/run1/violations.parquet \
+        --model-out /tmp/run1/model.json [--resume]
+
+Resumable: with --resume, partitions already recorded in the checkpoint
+ledger are skipped; verdicts + lineage land in the ledger as JSON lines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# local-run fallback; under spark-submit the package arrives via --py-files
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet path or table")
+    p.add_argument("--partition-col", required=True)
+    p.add_argument("--id-col", default=None)
+    p.add_argument("--ordinal-col", action="append", default=[],
+                   help="name=lev1<lev2<lev3 ordinal declaration")
+    p.add_argument("--cols-ignore", action="append", default=[])
+    p.add_argument("--fit-sample", type=int, default=1_000_000)
+    p.add_argument("--max-violation-rate", type=float, default=None)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--violations-out", required=True)
+    p.add_argument("--model-out", default=None)
+    p.add_argument("--model-in", default=None,
+                   help="reuse an existing fitted model (skip fit)")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from outliertree_spark import CheckpointLedger, SparkOutlierTree, ValidationConfig
+    from outliertree_spark.session import get_spark
+
+    spark = get_spark(app="validate-run", master=args.master)
+    df = (spark.table(args.input) if not args.input.endswith(".parquet")
+          and "/" not in args.input else spark.read.parquet(args.input))
+
+    ordinals = {}
+    for spec in args.ordinal_col:
+        name, levels = spec.split("=", 1)
+        ordinals[name] = levels.split("<")
+
+    ledger = CheckpointLedger(args.checkpoint)
+    if args.resume:
+        df = ledger.filter_remaining(df, args.partition_col)
+        if df.limit(1).count() == 0:
+            print(json.dumps({"status": "nothing-to-do",
+                              "done": len(ledger.done_partitions())}))
+            return 0
+
+    if args.model_in:
+        eng = SparkOutlierTree.load(args.model_in)
+    else:
+        cfg = ValidationConfig(max_fit_rows=args.fit_sample)
+        eng = SparkOutlierTree(cfg)
+        t0 = time.time()
+        eng.fit(df, cols_ignore=args.cols_ignore, ordinal_cols=ordinals or None,
+                id_cols=[args.id_col] if args.id_col else None)
+        print(f"fit: {time.time() - t0:.1f}s", file=sys.stderr)
+    if args.model_out:
+        eng.save(args.model_out)
+
+    t0 = time.time()
+    viols, verdicts = eng.validate(
+        df, partition_col=args.partition_col,
+        id_cols=[args.id_col] if args.id_col else None,
+        max_violation_rate=args.max_violation_rate)
+    viols.write.mode("append").parquet(args.violations_out)
+    ledger.record_verdicts(verdicts, args.partition_col,
+                           lineage={"input": args.input,
+                                    "model": args.model_out or args.model_in,
+                                    "wall_sec": round(time.time() - t0, 2)})
+    summary = verdicts.groupBy("passed").count().collect()
+    print(json.dumps({"status": "ok",
+                      "verdicts": {str(r["passed"]): r["count"] for r in summary},
+                      "wall_sec": round(time.time() - t0, 2)}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
