@@ -212,6 +212,7 @@ class SparkOutlierTree:
         fit_names = [c for c, k in kinds.items() if k != "drop"]
         if not fit_names:
             raise ValueError("no usable columns to fit on")
+        import warnings
         sdf = df.select(*fit_names)
         if n_rows is None:
             n_rows = sdf.count()
@@ -219,7 +220,17 @@ class SparkOutlierTree:
             frac = min(1.0, cfg.max_fit_rows / float(n_rows))
             sdf = sdf.sample(fraction=frac, seed=cfg.seed)
         pdf = sdf.toPandas()
+        if len(pdf) < 20:  # reference _check_valid_data, __init__.py:450-475
+            raise ValueError(f"fit sample has only {len(pdf)} rows (< 20)")
         cols = pandas_to_fit_columns(pdf, kinds, ordinal_cols)
+        for c in cols:
+            # P10 (reference check_more_two_values): near-constant numeric
+            # columns are poor targets/predictors
+            if c.kind == "numeric":
+                vals = c.values[np.isfinite(c.values)]
+                if np.unique(vals).shape[0] < 3:
+                    warnings.warn(f"numeric column {c.name!r} has fewer than "
+                                  "3 distinct values")
         model = fit_arrays(cols, cfg)
         model["schema"] = build_model_schema(cols)
         model["predictor_levels"] = {c.name: c.levels for c in cols

@@ -98,7 +98,7 @@ def run_ours(num_cols, cat_cols, ord_cols=(), cfg=None):
 def gen_case(seed: int):
     rng = np.random.RandomState(seed)
     n = int(rng.choice([300, 1200, 3000, 8000]))
-    kind = seed % 10
+    kind = seed % 12
     num_cols, cat_cols, ord_cols = [], [], []
     mode = ("0", "0", "1")
     cfg = ValidationConfig()
@@ -160,7 +160,7 @@ def gen_case(seed: int):
         cat_cols = [(y.astype(np.int64), 3), (g, 2)]
         mode = ("1", "0", "1")
         cfg = ValidationConfig(categ_outliers="majority")
-    else:  # bruteforce subset mode, multi-cat x multi-cat
+    elif kind == 9:  # bruteforce subset mode, multi-cat x multi-cat
         gx = rng.randint(0, 5, n)
         y = (gx % 3).astype(np.int64)
         noise = rng.rand(n) < 0.002
@@ -169,6 +169,19 @@ def gen_case(seed: int):
         cat_cols = [(y, 3), (gx, 5)]
         mode = ("0", "1", "0")
         cfg = ValidationConfig(categ_split="bruteforce")
+    elif kind == 10:  # left tail (exp-transform path)
+        y = -np.exp(rng.normal(0, 1.3, n))
+        y[rng.randint(n)] = -np.exp(9.0)
+        num_cols = [y, rng.normal(0, 1, n)]
+        cat_cols = [(rng.randint(0, 2, n), 2)]
+    else:  # ordinal target with numeric + categ predictors
+        x = rng.normal(0, 1, n)
+        o = np.clip(np.digitize(x, [-1.0, 0.0, 1.0]), 0, 3).astype(np.int64)
+        flip = rng.rand(n) < 0.002
+        o = np.where(flip, 3 - o, o)
+        num_cols = [x]
+        cat_cols = [(rng.randint(0, 3, n), 3)]
+        ord_cols = [(o, 4)]
     return num_cols, cat_cols, ord_cols, mode, cfg
 
 
