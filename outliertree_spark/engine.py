@@ -334,6 +334,25 @@ class SparkOutlierTree:
         return sdf.mapInPandas(run, schema=out_schema)
 
     # ------------------------------------------------------------------
+    def score(self, df: DataFrame, id_cols: list[str] | None = None,
+              prefilter: bool = True) -> DataFrame:
+        """Pure-Catalyst flagging (no Python in the plan): one row per
+        flagged input row with (suspicious_column, outlier_score,
+        tree_depth, uses_NA_branch, cluster_id).  Same winners as
+        ``predict`` (verified in tests); use ``predict`` when the full
+        violation payload / explanations are needed.
+
+        The cheap flaggable-bounds prefilter (pushed into the scan) runs
+        first so the large per-cluster winner expression — too big for
+        whole-stage codegen on non-trivial models — only evaluates on
+        candidate rows.  Semantically exact: a row failing the prefilter
+        fails every cluster's bound test."""
+        assert self.model_ is not None, "call fit() first"
+        from .plans.sql_predict import score_sql
+        sdf = df.filter(self.prefilter_expr(df)) if prefilter else df
+        return score_sql(self.model_, sdf, id_cols=id_cols)
+
+    # ------------------------------------------------------------------
     def validate(self, df: DataFrame, partition_col: str,
                  id_cols: list[str] | None = None,
                  max_violation_rate: float | None = None) -> tuple[DataFrame, DataFrame]:
