@@ -36,6 +36,50 @@ def windowed_verdicts(engine, stream_df: DataFrame, ts_col: str,
                     "n_violations"))
 
 
+def stateful_drift_monitor(stream_df: DataFrame, key_col: str, cat_col: str,
+                           baseline: dict[str, float],
+                           eps: float = 1e-6) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per key, keep a
+    running category histogram across micro-batches and emit the PSI of
+    the observed distribution vs a broadcast baseline after each batch.
+
+    Output: (key, n_total, psi) — one row per key per micro-batch."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState
+
+    cats = sorted(baseline)
+    base = [max(float(baseline[c]), eps) for c in cats]
+    state_schema = "counts array<long>"
+    out_schema = f"{key_col} string, n_total long, psi double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            (counts,) = state.get
+            counts = list(counts)
+        else:
+            counts = [0] * len(cats)
+        for pdf in pdfs:
+            vc = pdf[cat_col].value_counts()
+            for i, c in enumerate(cats):
+                counts[i] += int(vc.get(c, 0))
+        state.update((counts,))
+        tot = sum(counts)
+        psi = 0.0
+        if tot > 0:
+            for i in range(len(cats)):
+                p = max(counts[i] / tot, eps)
+                psi += (p - base[i]) * math.log(p / base[i])
+        yield pd.DataFrame({key_col: [key[0]], "n_total": [tot],
+                            "psi": [psi]})
+
+    return (stream_df.groupBy(key_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))
+
+
 def run_stream_to_memory(sdf: DataFrame, query_name: str):
     """Drive a (bounded) stream to completion into a memory sink."""
     q = (sdf.writeStream.outputMode("append")

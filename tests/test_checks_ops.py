@@ -189,3 +189,26 @@ def test_streaming_validation(spark, tmp_path):
     run_stream_to_memory(v, "viol_stream")
     got = spark.sql("SELECT * FROM viol_stream").toPandas()
     assert 5 in set(got["event_id"])
+
+
+def test_stateful_drift_monitor(spark, tmp_path):
+    from outliertree_spark.streaming.validate import stateful_drift_monitor
+    rng = np.random.RandomState(0)
+    n = 2000
+    pdf = pd.DataFrame({
+        "src": np.where(np.arange(n) % 2 == 0, "a", "b"),
+        "lang": np.where(rng.rand(n) < 0.9, "en", "de")})
+    pdf.loc[pdf.src == "b", "lang"] = "de"  # src b fully drifted
+    src = str(tmp_path / "drift_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("src string, lang string").parquet(src)
+    mon = stateful_drift_monitor(stream, "src", "lang",
+                                 {"en": 0.9, "de": 0.1})
+    q = (mon.writeStream.outputMode("update").format("memory")
+         .queryName("drift_t").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM drift_t").toPandas()
+    a = out[out.src == "a"].iloc[0]["psi"]
+    b = out[out.src == "b"].iloc[0]["psi"]
+    assert b > a and b > 1.0 and abs(a) < 0.1
