@@ -111,21 +111,29 @@ def prop_small_and_prior(counts: np.ndarray, nrows: int, z_norm: float):
     return prop_small, prior
 
 
+def _prewindowed_central_stats(core: np.ndarray) -> tuple[float, float]:
+    """mean + 2.5x SD over an already-central window (the reference calls
+    calc_central_mean_and_sd with a buffer populated only on
+    [st+q, end-q]; the window is NOT trimmed again)."""
+    m = core.shape[0]
+    if m < 2:
+        return (float(core.mean()) if m else 0.0), 0.0
+    xl = core.astype(LD, copy=False)
+    mean = xl.sum() / m
+    ssq = np.square(xl - mean).sum()
+    sd = 2.5 * float(np.sqrt(ssq / (m - 1)))
+    return float(mean), sd
+
+
 def calc_central_mean_and_sd(x_sorted: np.ndarray) -> tuple[float, float]:
     """Robust mean/SD from the central half, SD inflated x2.5
     (src/misc.cpp:178-204)."""
     n = x_sorted.shape[0]
     q = n // 4
     core = x_sorted[q:n - q]  # rows q .. n-q-1 (reference: st+q .. end-q)
-    m = core.shape[0]
-    if m < 2:
-        return float(x_sorted.mean()) if n else 0.0, 0.0
-    xl = core.astype(LD, copy=False)
-    mean = xl.sum() / m
-    ssq = np.square(xl - mean).sum()
-    # reference divides by (end - st - 2*size_quarter) == m - 1
-    sd = 2.5 * float(np.sqrt(ssq / (m - 1)))
-    return float(mean), sd
+    if core.shape[0] < 2:
+        return (float(x_sorted.mean()) if n else 0.0), 0.0
+    return _prewindowed_central_stats(core)
 
 
 def check_for_tails(x_sorted: np.ndarray, z_norm: float, max_perc_outliers: float,
@@ -154,9 +162,11 @@ def check_for_tails(x_sorted: np.ndarray, z_norm: float, max_perc_outliers: floa
         right_tail = 1.0
 
     if left_tail == 1.0:
-        # would exponentiating the z-scores fix it?
+        # would exponentiating the z-scores fix it?  (the probe stats are
+        # computed over the central window itself, not re-trimmed --
+        # misc.cpp:267-269 fills buffer_x only on [st+q, end-q])
         core = np.exp(z_score_arr(x_sorted[size_quarter:n - size_quarter], mean, sd))
-        mean_c2, sd_c2 = calc_central_mean_and_sd(core)
+        mean_c2, sd_c2 = _prewindowed_central_stats(core)
         probe = math.exp(z_score(x_sorted[max_norm_tail], mean, sd))
         if z_score(probe, mean_c2, sd_c2) >= -z_tail:
             left_tail = math.inf
@@ -172,7 +182,7 @@ def check_for_tails(x_sorted: np.ndarray, z_norm: float, max_perc_outliers: floa
     if right_tail == 1.0:
         const_add = 1.0 if x_sorted[0] == 0 else -x_sorted[0] + 1e-3
         core = np.log(x_sorted[size_quarter:n - size_quarter] + const_add)
-        mean_c2, sd_c2 = calc_central_mean_and_sd(core)
+        mean_c2, sd_c2 = _prewindowed_central_stats(core)
         probe = math.log(x_sorted[n - 1 - max_norm_tail] + const_add)
         if z_score(probe, mean_c2, sd_c2) <= z_tail:
             right_tail = math.inf
