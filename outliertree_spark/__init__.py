@@ -7,6 +7,8 @@ dedup, similarity search, text analysis)."""
 
 from .config import ValidationConfig
 from .engine import CheckpointLedger, SparkOutlierTree
+from .suite import ValidationSuite
 
-__all__ = ["ValidationConfig", "SparkOutlierTree", "CheckpointLedger"]
+__all__ = ["ValidationConfig", "SparkOutlierTree", "CheckpointLedger",
+           "ValidationSuite"]
 __version__ = "0.1.0"

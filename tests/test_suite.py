@@ -1,0 +1,64 @@
+"""ValidationSuite end-to-end: derived + declared checks, unified verdicts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from outliertree_spark import ValidationConfig
+from outliertree_spark.suite import ValidationSuite
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    rng = np.random.RandomState(42)
+    n = 4000
+    ids = np.arange(n)
+    url = np.array([f"https://h{i % 37}.com/d/{i}" for i in ids], dtype=object)
+    url[101] = url[100]  # duplicate
+    ref_id = rng.randint(0, 50, n)
+    ref_id[7] = 999      # orphan
+    base = pd.Timestamp("2024-01-01")
+    ts = base + pd.to_timedelta(rng.randint(0, 20 * 24 * 3600, n), unit="s")
+    ts = pd.Series(ts)
+    ts.iloc[11] = base + pd.Timedelta(days=500)  # out of declared window
+    lang = np.array(["en", "de", "fr"])[rng.choice(3, n, p=[0.6, 0.3, 0.1])]
+    text_len = rng.lognormal(5, 0.3, n)
+    text_len[13] = 2e6   # derived-constraint outlier
+    bucket = ids % 5
+    # bucket 4 drifts: all 'fr'
+    lang[bucket == 4] = "fr"
+    pdf = pd.DataFrame({"doc_id": ids, "url": url, "ref_id": ref_id,
+                        "warc_ts": ts, "lang": lang, "text_len": text_len,
+                        "bucket": bucket})
+    df = spark.createDataFrame(pdf)
+    parent = spark.createDataFrame(pd.DataFrame({"id": np.arange(50)}))
+    baseline = df.filter(F.col("bucket") < 4)
+    return df, parent, baseline
+
+
+def test_suite_unified_run(spark, data):
+    df, parent, baseline = data
+    suite = (ValidationSuite(ValidationConfig())
+             .add_uniqueness("url")
+             .add_referential(parent, child_key="ref_id", parent_key="id")
+             .add_timestamp_range("warc_ts", "2024-01-01", "2024-02-01")
+             .add_drift_baseline(baseline, "lang", max_psi=0.2))
+    suite.fit(df, id_cols=["doc_id"], cols_ignore=["bucket", "url", "ref_id"])
+    viols, verdicts = suite.run(df, partition_col="bucket",
+                                id_cols=["doc_id"])
+    vp = viols.toPandas()
+    by_check = vp.groupby("check")["doc_id"].apply(set).to_dict()
+    assert {100, 101} <= by_check.get("unique_url", set())
+    assert 7 in by_check.get("ref_ref_id", set())
+    assert 11 in by_check.get("ts_range_warc_ts", set())
+    assert 13 in by_check.get("derived", set())
+
+    vd = verdicts.toPandas().set_index("bucket").sort_index()
+    assert len(vd) == 5
+    # the drifted partition fails on PSI even if its row checks pass
+    assert not bool(vd.loc[4, "passed"])
+    assert vd.loc[4, [c for c in vd.columns if c.startswith("psi_")][0]] > 0.2
+    # non-drifted partitions have small PSI
+    assert vd.loc[0, [c for c in vd.columns if c.startswith("psi_")][0]] < 0.2
