@@ -28,15 +28,22 @@ from ..functions.stats import (
 EPS = np.finfo(np.float64).eps
 
 
-def _better_cluster_fit(scores, cl_nab, cl_depth, cl_size, rows,
+def _better_cluster_fit(state, clusters, rows,
                         new_nab: bool, new_depth: int, new_size_proxy: int):
     """Fit-time per-column overwrite rule (src/clusters.cpp:235-249):
-    prefer non-NA-branch, then shallower, then larger cluster."""
-    old_scores = scores[rows]
+    prefer non-NA-branch, then shallower, then larger cluster.
+
+    The previously-assigned cluster's size is looked up at comparison time
+    (the reference reads clusters[assigned].cluster_size, which is FINAL by
+    then); the new cluster compares via its interior-size proxy because its
+    own size is not yet known (clusters.cpp:358-360 notes this asymmetry)."""
+    old_scores = state.scores[rows]
     no_prev = old_scores >= 1.0
-    old_nab = cl_nab[rows]
-    old_depth = cl_depth[rows]
-    old_size = cl_size[rows]
+    old_nab = state.cl_nab[rows]
+    old_depth = state.depth[rows]
+    old_size = np.array(
+        [clusters[c]["cluster_size"] if 0 <= c < len(clusters) else 0
+         for c in state.cluster[rows]], dtype=np.int64)
     better = (
         no_prev
         | (old_nab & (not new_nab))
@@ -70,7 +77,7 @@ class RowState:
 
 
 def define_numerical_cluster(y: np.ndarray, ix: np.ndarray, orig: np.ndarray,
-                             state: RowState, cluster: dict,
+                             state: RowState, cluster: dict, clusters: list,
                              cluster_num: int, tree_num: int, tree_depth: int,
                              is_log: bool, log_minval: float,
                              is_exp: bool, orig_mean: float, orig_sd: float,
@@ -182,8 +189,7 @@ def define_numerical_cluster(y: np.ndarray, ix: np.ndarray, orig: np.ndarray,
 
     if (has_low or has_outlier_neg) and st_normals > 0:
         rows = order[:st_normals]
-        better = _better_cluster_fit(state.scores, state.cl_nab, state.depth,
-                                     state.cl_size, rows,
+        better = _better_cluster_fit(state, clusters, rows,
                                      bool(cluster["has_NA_branch"]), tree_depth,
                                      tot - 2 * tail_size)
         sel = rows[better]
@@ -236,8 +242,7 @@ def define_numerical_cluster(y: np.ndarray, ix: np.ndarray, orig: np.ndarray,
             has_high = False
         else:
             rows = order[end_normals + 1:]
-            better = _better_cluster_fit(state.scores, state.cl_nab, state.depth,
-                                         state.cl_size, rows,
+            better = _better_cluster_fit(state, clusters, rows,
                                          bool(cluster["has_NA_branch"]), tree_depth,
                                          tot - 2 * tail_size)
             sel = rows[better]
@@ -439,7 +444,7 @@ def define_categ_cluster_no_cond(codes: np.ndarray, ix: np.ndarray, ncateg: int,
 
 
 def define_categ_cluster(codes: np.ndarray, ix: np.ndarray, ncateg: int, by_maj: bool,
-                         state: RowState, cluster: dict,
+                         state: RowState, cluster: dict, clusters: list,
                          cluster_num: int, tree_num: int, tree_depth: int,
                          max_perc_outliers: float, z_norm: float, z_outlier: float,
                          perc_threshold: np.ndarray, prop_prior: np.ndarray):
@@ -468,8 +473,7 @@ def define_categ_cluster(codes: np.ndarray, ix: np.ndarray, ncateg: int, by_maj:
         out_mask = is_outlier[vals] == 1
         rows = ix[out_mask]
         sz_maj = tot - rows.shape[0]
-        better = _better_cluster_fit(state.scores, state.cl_nab, state.depth,
-                                     state.cl_size, rows,
+        better = _better_cluster_fit(state, clusters, rows,
                                      bool(cluster["has_NA_branch"]), tree_depth,
                                      tot - tail_size)
         sel = rows[better]

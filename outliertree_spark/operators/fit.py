@@ -282,7 +282,7 @@ class _ColumnFit:
         self.trees.append(_new_tree(0, "root", 0))
         cl = _new_cluster(None, None, None, "root")
         found = define_numerical_cluster(
-            y, ix, v, self.state, cl, 0, 0, 0,
+            y, ix, v, self.state, cl, self.clusters, 0, 0, 0,
             log_t, self.log_minval, exp_t, self.orig_mean, self.orig_sd,
             lt, rt, cfg.pct_outliers, cfg.z_norm, cfg.z_outlier,
             check_nonneg_outliers=True)
@@ -326,7 +326,7 @@ class _ColumnFit:
                           split_subset, split_lev, has_nab, tree_from, depth)
         cfg = self.cfg
         found = define_numerical_cluster(
-            self.y, rows, self.y_orig, self.state, cl,
+            self.y, rows, self.y_orig, self.state, cl, self.clusters,
             len(self.clusters), tree_from, depth,
             self.log_transf, self.log_minval, self.exp_transf,
             self.orig_mean, self.orig_sd, self.left_tail, self.right_tail,
@@ -575,7 +575,7 @@ class _ColumnFit:
                           split_subset, split_lev, has_nab, tree_from, depth)
         found, drop = define_categ_cluster(
             self.codes, rows, self.ncat, cfg.categ_from_maj,
-            self.state, cl, len(self.clusters), tree_from, depth,
+            self.state, cl, self.clusters, len(self.clusters), tree_from, depth,
             cfg.pct_outliers, cfg.z_norm, cfg.z_outlier,
             self.ctx.prop_small[self.target.name],
             self.ctx.prior[self.target.name])
