@@ -229,15 +229,45 @@ def run_ours_predict(model, p_num, p_cat, p_ord):
     return rows
 
 
-def main(n_cases: int = 20, follow_all: bool = False) -> int:
+def _vary_hyperparams(seed: int, mode, cfg):
+    """Randomize hyperparams per seed (and encode them as harness args):
+    take_mid, max_depth, min_gain, z thresholds, pct, min sizes."""
+    rng = np.random.RandomState(77_000 + seed)
+    max_depth = int(rng.choice([2, 3, 4, 6]))
+    take_mid = bool(rng.rand() < 0.5)
+    min_gain = float(rng.choice([1e-2, 1e-3, 5e-2]))
+    z_norm = float(rng.choice([2.0, 2.67, 3.5]))
+    z_outlier = float(rng.choice([6.0, 8.0, 10.0]))
+    pct = float(rng.choice([0.01, 0.03, 0.005]))
+    msn = int(rng.choice([15, 25, 40]))
+    msc = int(rng.choice([25, 50, 80]))
+    d = cfg.to_dict()
+    d.update(max_depth=max_depth, min_gain=min_gain, z_norm=z_norm,
+             z_outlier=z_outlier, pct_outliers=pct,
+             min_size_numeric=msn, min_size_categ=msc,
+             numeric_split="mid" if take_mid else "raw")
+    cfg2 = ValidationConfig(**d)
+    mode2 = mode[:3] + ("0", str(max_depth),
+                        "1" if d.get("follow_all") else "0",
+                        "1" if take_mid else "0",
+                        repr(min_gain), repr(z_norm), repr(z_outlier),
+                        repr(pct), str(msn), str(msc))
+    return mode2, cfg2
+
+
+def main(n_cases: int = 20, follow_all: bool = False,
+         vary: bool = False) -> int:
     from outliertree_spark.model import attach_conditions
     n_fail = 0
     for seed in range(n_cases):
         num_cols, cat_cols, ord_cols, mode, cfg = gen_case(seed)
         if follow_all:
-            mode = mode + ("1", "4", "1")  # dump=1(unused pos4), depth, follow
             mode = mode[:3] + ("0", "4", "1")
             cfg = ValidationConfig(**{**cfg.to_dict(), "follow_all": True})
+        if vary:
+            if follow_all:
+                cfg = ValidationConfig(**{**cfg.to_dict(), "follow_all": True})
+            mode, cfg = _vary_hyperparams(seed, mode, cfg)
         p_num, p_cat, p_ord = gen_predict_case(seed, num_cols, cat_cols, ord_cols)
         ref, ref_pred = run_reference(num_cols, cat_cols, ord_cols, mode,
                                       predict_cols=(p_num, p_cat, p_ord))
@@ -288,5 +318,6 @@ def main(n_cases: int = 20, follow_all: bool = False) -> int:
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    fa = len(sys.argv) > 2 and sys.argv[2] == "--follow-all"
-    sys.exit(main(n, follow_all=fa))
+    fa = "--follow-all" in sys.argv[2:]
+    vary = "--vary" in sys.argv[2:]
+    sys.exit(main(n, follow_all=fa, vary=vary))

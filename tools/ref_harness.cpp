@@ -27,6 +27,16 @@ int main(int argc, char **argv) {
     if (argc > 5) max_depth = (size_t)atoi(argv[5]);
     int follow_all = 0;
     if (argc > 6) follow_all = atoi(argv[6]);
+    int take_mid = 0;
+    double min_gain = 1e-2, z_norm = 2.67, z_outlier = 8.0, pct = 0.01;
+    size_t min_size_num = 25, min_size_cat = 50;
+    if (argc > 7) take_mid = atoi(argv[7]);
+    if (argc > 8) min_gain = atof(argv[8]);
+    if (argc > 9) z_norm = atof(argv[9]);
+    if (argc > 10) z_outlier = atof(argv[10]);
+    if (argc > 11) pct = atof(argv[11]);
+    if (argc > 12) min_size_num = (size_t)atoi(argv[12]);
+    if (argc > 13) min_size_cat = (size_t)atoi(argv[13]);
     std::cin >> nrows >> ncols_num >> ncols_cat >> ncols_ord;
     std::vector<int> ncat(ncols_cat), ncat_ord(ncols_ord);
     for (size_t i = 0; i < ncols_cat; i++) std::cin >> ncat[i];
@@ -59,11 +69,11 @@ int main(int argc, char **argv) {
         nrows, nullptr, 1,
         (bool)categ_as_bin, (bool)categ_as_bin,
         (bool)cat_bruteforce, (bool)categ_from_maj,
-        /*take_mid=*/false,
-        max_depth, /*max_perc_outliers=*/0.01,
-        /*min_size_numeric=*/25, /*min_size_categ=*/50,
-        /*min_gain=*/1e-2, /*gain_as_pct=*/true, (bool)follow_all,
-        /*z_norm=*/2.67, /*z_outlier=*/8.0);
+        (bool)take_mid,
+        max_depth, pct,
+        min_size_num, min_size_cat,
+        min_gain, /*gain_as_pct=*/true, (bool)follow_all,
+        z_norm, z_outlier);
 
     printf("found=%d\n", (int)found);
     for (size_t r = 0; r < nrows; r++) {
