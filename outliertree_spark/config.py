@@ -10,7 +10,7 @@ path is the part that scales out).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 
 
 @dataclass

@@ -20,7 +20,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from .config import ValidationConfig
 from .model import attach_conditions, flaggable_values, model_from_json, model_to_json

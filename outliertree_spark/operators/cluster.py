@@ -15,7 +15,6 @@ import math
 import numpy as np
 
 from ..functions.stats import (
-    LD,
     calculate_max_cat_outliers,
     calculate_max_outliers,
     chebyshyov_bound,

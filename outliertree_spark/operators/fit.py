@@ -14,7 +14,7 @@ ordinal (fit_model.cpp:148).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

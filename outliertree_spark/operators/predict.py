@@ -11,11 +11,7 @@ documents as the more trustworthy of its two rules).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
-
-from ..functions.stats import chebyshyov_bound
 
 
 class BatchResult:

@@ -11,7 +11,7 @@ the reference's Welford passes with longdouble cumulative sums.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,7 +9,6 @@ Formats follow the reference Python binding exactly:
 
 from __future__ import annotations
 
-import math
 from datetime import datetime, timezone
 
 from .functions.stats import decimals_diff

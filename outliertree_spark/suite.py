@@ -17,7 +17,7 @@ check's name otherwise); verdicts aggregate all checks per partition.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F
