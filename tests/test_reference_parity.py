@@ -23,14 +23,17 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def harness():
-    if not os.path.exists(HARNESS_BIN):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(root, "tools", "ref_harness.cpp")
+    stale = (not os.path.exists(HARNESS_BIN)
+             or os.path.getmtime(HARNESS_BIN) < os.path.getmtime(src))
+    if stale:
         srcs = [f"{REF_SRC}/{f}.cpp" for f in
                 ("fit_model", "split", "clusters", "cat_outlier",
                  "misc", "predict")]
         subprocess.run(
             ["g++", "-O2", "-std=c++11", "-fopenmp", f"-I{REF_SRC}",
-             "tools/ref_harness.cpp", *srcs, "-o", HARNESS_BIN],
-            check=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+             src, *srcs, "-o", HARNESS_BIN], check=True, cwd=root)
     return HARNESS_BIN
 
 
