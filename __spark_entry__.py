@@ -241,6 +241,21 @@ def q_top_customers_window(spark, sf_dir):
                      F.round("o_totalprice", 2).alias("o_totalprice"), "rnk"))
 
 
+def q_cosine_near_dups_exact(spark, sf_dir):
+    """Exact all-pairs cosine near-duplicates (the correctness baseline the
+    LSH variant approximates)."""
+    from outliertree_spark.operators.similarity import cosine_expr
+    emb = _tbl(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (j.withColumn("cosine", cosine_expr("va", "vb"))
+             .filter(F.col("cosine") >= 0.5)
+             .select("id_a", "id_b", F.round("cosine", 4).alias("cosine")))
+
+
 def q_set_ops(spark, sf_dir):
     """Union / except-distinct over customer segments vs big spenders."""
     c = _tbl(spark, sf_dir, "customer")
@@ -340,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "supplier_agg_rollup": q_supplier_agg_rollup,
         "top_customers_window": q_top_customers_window,
+        "cosine_near_dups_exact": q_cosine_near_dups_exact,
         "set_ops": q_set_ops,
         "cube_orders": q_cube_orders,
         "sessionization": q_sessionization,
@@ -571,6 +587,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY ROLLUP (n_name, s_name)
+        """,
+        "cosine_near_dups_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                     AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5
         """,
         "set_ops": """
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
