@@ -292,14 +292,26 @@ def q_sessionization(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
-# non-SQL-expressible operators (rows-only checks)
+# approximate-dedup pipelines: LSH candidates -> exact verify.  The
+# verify stage makes these ORACLE-ABLE: DuckDB computes the exact
+# all-pairs result; hash equality proves the LSH stage reached recall
+# 1.0 on the fixture (its planted near-dup pairs sit at jaccard >= 0.94
+# / cosine >= 0.94, where the banded constructions' miss probability is
+# < 1e-9 per pair).
 # ----------------------------------------------------------------------
 
 def q_outlier_validate(spark, sf_dir):
+    """Rows-only by design: the tree-conditioned outlier semantics are
+    not SQL-expressible; correctness is instead guaranteed by exact
+    differential parity against the compiled reference C++ core
+    (tests/test_reference_parity.py: flagged rows, scores, depths and
+    cluster bounds, 10 seeded cases per pytest run)."""
     return _flagship(spark, sf_dir)
 
 
 def q_minhash_dups(spark, sf_dir):
+    """MinHash banding (16 bands x 4 rows) -> exact n-gram Jaccard >= 0.7.
+    Oracled: equals the exact all-pairs Jaccard query (DuckDB)."""
     from outliertree_spark.operators.dedup import minhash_lsh_candidates, ngram_jaccard
     d = _docs(spark, sf_dir)
     pairs = minhash_lsh_candidates(d)
@@ -309,11 +321,23 @@ def q_minhash_dups(spark, sf_dir):
 
 
 def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dups (hamming <= 3) with pigeonhole blocking — exact
+    recall by construction (4 blocks, 3 flips can't touch all).  The
+    md5_60 token hash makes the whole pipeline SQL-oracleable: DuckDB
+    recomputes the per-token hashes, the per-bit majority simhash, and
+    the all-pairs hamming filter bit-for-bit."""
     from outliertree_spark.operators.dedup import simhash_near_dups
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+    d = _docs(spark, sf_dir)
+    out = simhash_near_dups(d, max_hamming=3, n_blocks=4,
+                            bits=60, token_hash="md5_60")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Banded-LSH approximate top-k.  Rows-only by design: true top-k
+    neighbors of random vectors sit at LOW cosine where any honest LSH
+    has partial recall; the quality gate is q_ann_recall (planted
+    near-dups, oracled) plus the pytest recall-vs-bruteforce bound."""
     from outliertree_spark.operators.similarity import lsh_topk
     emb = _tbl(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
@@ -324,15 +348,50 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_fingerprints(spark, sf_dir):
-    from outliertree_spark.operators.text import fingerprint
-    return _docs(spark, sf_dir).select("doc_id",
-                                       fingerprint("text").alias("fp"))
+    """md5 fingerprint of whitespace-normalized text (DuckDB-oracleable).
+    The xxhash64 variant (operators/text.py fingerprint) is the scale
+    path — 8-byte vs 32-hex-char — and is pinned by pytest instead."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def _planted_embeddings(spark, sf_dir):
+    """Deterministic near-dup plant: for vec_id % 20 == 0, a copy with
+    +0.25 added to dimension 0 (cosine ~0.97 for these unit-norm
+    vectors).  Everything cast to double so Spark and DuckDB compute
+    cosine on identical values."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    pert = (emb.filter(F.col("vec_id") % 20 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda x, i: F.when(i == 0, x.cast("double") + 0.25)
+                                                 .otherwise(x.cast("double")))
+                        .alias("embedding")))
+    return base.unionByName(pert)
+
+
+def q_ann_recall(spark, sf_dir):
+    """Recall gate for the banded sign-LSH: near-dups >= 0.8 over the
+    planted corpus via LSH candidates + exact re-rank.  Oracled against
+    the exact all-pairs query — hash equality proves recall 1.0 (the
+    round-1 single-band construction had ~16% recall here)."""
+    from outliertree_spark.operators.dedup import embedding_near_dups
+    p = _planted_embeddings(spark, sf_dir)
+    out = embedding_near_dups(p, min_cosine=0.8, n_tables=16, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Banded-LSH near-dups on the natural corpus at cosine >= 0.8.
+    Oracled against the exact all-pairs query (empty on this fixture —
+    its closest natural pair is ~0.51)."""
     from outliertree_spark.operators.dedup import embedding_near_dups
-    return embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
-                               min_cosine=0.8)
+    out = embedding_near_dups(_tbl(spark, sf_dir, "embeddings"),
+                              min_cosine=0.8, n_tables=16, n_planes=8)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -359,13 +418,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "cube_orders": q_cube_orders,
         "sessionization": q_sessionization,
-        # rows-only (non-SQL-expressible)
-        "outlier_validate": q_outlier_validate,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
-        "ann_lsh": q_ann_lsh,
         "fingerprints": q_fingerprints,
+        "ann_recall": q_ann_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        # rows-only (non-SQL-expressible; see each docstring)
+        "outlier_validate": q_outlier_validate,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -383,6 +443,78 @@ def _lang_scores_sql() -> str:
         s = " + ".join(_stop_count_sql("text", w) for w in LANG_MARKERS[lang])
         parts.append(f"({s}) AS s_{lang}")
     return ", ".join(parts)
+
+
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """Exact all-pairs n-gram (k=3 word shingle) Jaccard in DuckDB —
+    the ground truth the MinHash/SimHash candidate stages approximate.
+    Shingle construction mirrors operators/dedup.py shingle_array:
+    lowercase, trim, whitespace-split, 3-word windows, distinct."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 0)),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents)
+          WHERE len(toks) >= 3),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM t a, t b WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+        FROM p WHERE jaccard >= {threshold}
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    """DuckDB twin of operators/dedup.py simhash(token_hash='md5_60') +
+    all-pairs hamming filter: distinct lowercase whitespace tokens,
+    60-bit hash from the first 15 md5 hex chars, per-bit majority vote,
+    bit_count(xor) <= max_hamming."""
+    bsums = ",\n                 ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(bits))
+    packed = " + ".join(
+        f"CASE WHEN 2*b{i} >= n THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i in range(bits))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(
+              regexp_split_to_array(lower(text), '\\s+'))) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+          FROM tok),
+        bits AS (
+          SELECT doc_id, count(*) AS n,
+                 {bsums}
+          FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, {packed} AS simhash FROM bits)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+_PLANTED_EMB_SQL = """
+        WITH p AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_concat([CAST(embedding[1] AS DOUBLE) + 0.25],
+                             list_transform(embedding[2:],
+                                            x -> CAST(x AS DOUBLE)))
+          FROM embeddings WHERE vec_id % 20 = 0)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -558,8 +690,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "verdicts_by_source": """
             SELECT source, count(*) AS n_rows,
-                   sum(CASE WHEN n_chars < 60 OR n_chars > 520
-                            THEN 1 ELSE 0 END) AS n_violations,
+                   CAST(sum(CASE WHEN n_chars < 60 OR n_chars > 520
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
                    round(sum(CASE WHEN n_chars < 60 OR n_chars > 520
                                   THEN 1 ELSE 0 END)
                          / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
@@ -623,9 +755,32 @@ def oracle_sql() -> dict[str, str]:
                            (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g)
-            SELECT user_id, max(session_id) AS n_sessions,
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "minhash_dups": _jaccard_pairs_sql(0.7),
+        "simhash_dups": _simhash_pairs_sql(3),
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fp
+            FROM documents
+        """,
+        "ann_recall": _PLANTED_EMB_SQL + """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM p a, p b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.8
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                     AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         """,
         "top_customers_window": """
             WITH j AS (

@@ -36,12 +36,66 @@ def _sf_number(path: str) -> float:
 
 
 def make_session(par: int):
+    """Bench session with a PINNED, pre-touched heap.
+
+    With the default (-Xmx only) JVM sizing, G1 uncommits heap regions
+    after each GC cycle and the next run re-faults ~1M pages: 30-40% of
+    every core goes to kernel page zeroing, run times swing 4s-90s, and
+    adding threads makes it WORSE (zone-lock contention) — this was the
+    round-1 "local[32] slower than local[16]" collapse (BENCH_r01:
+    8->32 efficiency 0.235).  -Xms == -Xmx + AlwaysPreTouch commits and
+    zeroes the heap once at JVM start; run times stabilize (3.6-4.2s at
+    local[16], ~0% system time) and 8->32 scales at ~0.97.  Same fix a
+    real cluster applies via spark.executor.memory (Xms==Xmx is the
+    default for executors launched by YARN/k8s)."""
     from outliertree_spark.session import get_spark
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
     return get_spark(app=f"bench[{par}]", master=f"local[{par}]",
                      shuffle_partitions=par,
                      extra_conf={"spark.ui.showConsoleProgress": "false",
-                                 "spark.driver.memory":
-                                     os.environ.get("SPARK_DRIVER_MEM", "48g")})
+                                 "spark.driver.memory": mem,
+                                 # fixed split size at every parallelism
+                                 # level: by default Spark sizes splits as
+                                 # totalSize/parallelism, so local[8] got
+                                 # 103MB splits (heavy per-task decode
+                                 # footprint, GC-noisy) while local[32]
+                                 # got 26MB — different jobs, not a
+                                 # scaling comparison
+                                 "spark.sql.files.maxPartitionBytes": "16m",
+                                 "spark.sql.files.openCostInBytes": "1m",
+                                 "spark.driver.extraJavaOptions":
+                                     f"-Xms{mem} -XX:+AlwaysPreTouch"})
+
+
+def membw_probe(procs: list[int], mb: int = 64, iters: int = 20) -> dict:
+    """Aggregate memory read bandwidth (GB/s) at each process count.
+
+    The validate job is a streaming decode (parquet -> strings -> filter);
+    on one box its N->4N scaling is bounded by how the box's memory
+    bandwidth scales with thread count, NOT by the plan (which is
+    shuffle-free).  Printing the measured bandwidth curve next to the job
+    curve makes a sub-1.0 efficiency self-explaining: on a real cluster
+    each of the 4N executors brings its own memory controllers."""
+    import multiprocessing as mp
+
+    out = {}
+    ctx = mp.get_context("fork")
+    for n in procs:
+        with ctx.Pool(n) as p:
+            out[n] = round(sum(p.map(_stream_worker, [(mb, iters)] * n)), 1)
+    return out
+
+
+def _stream_worker(args):
+    import numpy as np
+    mb, iters = args
+    buf = np.frombuffer(np.random.RandomState(0).bytes(mb * 1024 * 1024),
+                        dtype=np.uint8).copy()
+    t0 = time.time()
+    s = 0
+    for _ in range(iters):
+        s += int(buf.sum())
+    return iters * len(buf) / (time.time() - t0) / 1e9
 
 
 def build_validator(spark, sf_dir):
@@ -146,7 +200,7 @@ def main() -> None:
     eng.save(model_path)
     spark.stop()
 
-    rounds = int(os.environ.get("BENCH_ROUNDS", "1"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
     levels = sorted({4, 16, LOW_PAR, CPUS})
     best = {p: float("inf") for p in levels}
     n_docs = n_viols = n_viols_lo = 0
@@ -171,7 +225,17 @@ def main() -> None:
     queries = run_headline_queries(spark, SF_DIR)
     spark.stop()
 
+    # single-box ceiling evidence for the N->4N criterion (see membw_probe)
+    bw = membw_probe([LOW_PAR, CPUS])
+    bw_eff = (bw[CPUS] / bw[LOW_PAR]) / (CPUS / LOW_PAR)
+
     eff = (thru_hi / thru_lo) / (CPUS / LOW_PAR) if thru_lo > 0 else 0.0
+    # the north rule gates N->4N >= 0.8: headline the WORST measured
+    # N->4N pair, never the favorable one
+    pairs = {f"{LOW_PAR}->{CPUS}": round(eff, 3)}
+    if eff_4_16 is not None:
+        pairs["4->16"] = round(eff_4_16, 3)
+    headline_eff = min(v for v in pairs.values() if v is not None)
     total = round(sum(queries.values()) + sec_hi, 3)
     result = {
         "metric": "headline_suite_wall_sec",
@@ -184,14 +248,14 @@ def main() -> None:
         "fit_sec": round(fit_sec, 3),
         "throughput_docs_per_sec": {
             f"local[{p}]": round(n_docs / best[p], 1) for p in levels},
-        # two N->4N pairs: 4->16 runs below this single box's memory-
-        # bandwidth ceiling (the cluster-representative pair); 8->32
-        # saturates it. Both reported; see BASELINE.md.
-        "scaling_efficiency": round(eff_4_16, 3) if eff_4_16 else round(eff, 3),
-        "scaling_efficiency_by_pair": {
-            "4->16": round(eff_4_16, 3) if eff_4_16 else None,
-            f"{LOW_PAR}->{CPUS}": round(eff, 3),
-        },
+        "scaling_efficiency": headline_eff,
+        "scaling_efficiency_by_pair": pairs,
+        # how the BOX's memory bandwidth itself scales over the same
+        # thread counts: the shuffle-free validate job cannot scale
+        # better than this on one machine (each of 4N real executors
+        # would bring its own memory controllers)
+        "membw_gbps_by_procs": {f"{p}": v for p, v in bw.items()},
+        "membw_scaling_efficiency": round(bw_eff, 3),
         "parallelism": {"low": LOW_PAR, "high": CPUS},
         "violations_agree_across_parallelism": n_viols == n_viols2,
     }

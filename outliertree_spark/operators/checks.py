@@ -75,11 +75,13 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     j = ha.join(hb, "bucket", "full")
     j = (j.withColumn("n_a", F.coalesce("n_a", F.lit(0)))
           .withColumn("n_b", F.coalesce("n_b", F.lit(0))))
-    # histogram table is tiny (one row per bucket); a global window is fine
-    tot_a = F.sum("n_a").over(Window.partitionBy())
-    tot_b = F.sum("n_b").over(Window.partitionBy())
-    j = (j.withColumn("p", F.col("n_a") / tot_a + F.lit(eps))
-          .withColumn("q", F.col("n_b") / tot_b + F.lit(eps)))
+    # totals via scalar aggregate + broadcast cross join: the histogram is
+    # tiny but a Window.partitionBy() would still force a single-partition
+    # exchange (and floods logs with WindowExec warnings)
+    totals = j.agg(F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb"))
+    j = j.crossJoin(F.broadcast(totals))
+    j = (j.withColumn("p", F.col("n_a") / F.col("_ta") + F.lit(eps))
+          .withColumn("q", F.col("n_b") / F.col("_tb") + F.lit(eps)))
     return (j.withColumn("psi", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
              .withColumn("kl", F.col("p") * F.log(F.col("p") / F.col("q")))
              .select("bucket", "n_a", "n_b", "p", "q", "psi", "kl"))

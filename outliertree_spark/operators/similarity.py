@@ -2,14 +2,26 @@
 
 Brute-force cosine top-k as the exactness baseline (JVM-side
 ``aggregate``/``zip_with`` dot products inside codegen — no Python), and a
-sign-LSH bucketed variant as the scale path: at 10^12 vectors the
-cross-join is infeasible, so candidates come from hyperplane-sign buckets
-(broadcastable probe side), with exact re-ranking after.
+banded sign-LSH variant as the scale path: at 10^12 vectors the cross-join
+is infeasible, so candidates come from hyperplane-sign buckets with exact
+re-ranking after.
+
+The LSH is an OR-construction — L independent tables of b hyperplanes each
+(mirroring MinHash banding): a pair is a candidate if it collides in ANY
+table.  A single b-plane band has recall (1-θ/π)^b ≈ 16% at cosine 0.8;
+with L=16 tables of 8 planes the miss probability drops to
+(1-(1-θ/π)^8)^16 ≈ 6% at cosine 0.8 and < 1e-4 at cosine 0.95.
+Projections are computed in ONE vectorized Arrow pass (NumPy matmul
+against a seeded Gaussian plane matrix) — evaluating L*b interpreted
+higher-order-function aggregates per row would be ~100x slower.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def dot_expr(a, b):
@@ -31,9 +43,13 @@ def cosine_expr(a, b):
 
 
 def sign_lsh_bucket(vec_col: str, n_planes: int = 8, seed: int = 42):
-    """Deterministic sign-LSH bucket id: for each hyperplane, the sign of
-    sum_d v[d] * h(seed, plane, d), where h is a unit-ish pseudo-random
-    weight from xxhash64 — all in Catalyst, no shipped matrices."""
+    """Deterministic single-band sign-LSH bucket id, pure Catalyst: for
+    each hyperplane, the sign of sum_d v[d] * h(seed, plane, d), where h
+    is a symmetric pseudo-random weight from xxhash64 (``pmod`` — Spark's
+    ``%`` keeps the dividend's sign, which would bias every weight
+    negative and correlate all planes).  Prefer ``lsh_bucket_arrays`` (the
+    L-table OR-construction) for recall-sensitive work; this is the
+    no-Python building block."""
     vec = F.col(vec_col)
 
     def _proj(p: int):
@@ -41,8 +57,8 @@ def sign_lsh_bucket(vec_col: str, n_planes: int = 8, seed: int = 42):
             F.zip_with(
                 vec,
                 F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            lambda d: (F.xxhash64(F.lit(seed), F.lit(p), d)
-                                       % 2001 - 1000).cast("double") / 1000.0),
+                            lambda d: (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d),
+                                              F.lit(2001)) - 1000).cast("double") / 1000.0),
                 lambda v, w: (v * w).cast("double")),
             F.lit(0.0), lambda acc, x: acc + x)
 
@@ -52,6 +68,75 @@ def sign_lsh_bucket(vec_col: str, n_planes: int = 8, seed: int = 42):
             F.when(_proj(p) >= 0, F.lit(1 << p).cast("long"))
              .otherwise(F.lit(0).cast("long")))
     return bucket
+
+
+def lsh_bucket_arrays(vec_col: str, n_tables: int = 16, n_planes: int = 8,
+                      seed: int = 42):
+    """array<long> column of ``n_tables`` sign-LSH bucket ids (one per
+    band of ``n_planes`` Gaussian hyperplanes).
+
+    One Arrow-vectorized pass: the batch's vectors are stacked into a
+    (rows, dim) matrix and multiplied against a seeded N(0,1) plane matrix
+    (dim, n_tables*n_planes); bucket ids are packed sign bits per table.
+    Deterministic: the plane matrix is re-derived from (seed, dim) on each
+    worker, never shipped."""
+    total = n_tables * n_planes
+    weights = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(s.to_numpy()).astype(np.float64)          # (n, dim)
+        planes = np.random.RandomState(seed).standard_normal(
+            (x.shape[1], total))                               # (dim, T*b)
+        bits = (x @ planes) >= 0.0                              # (n, T*b)
+        bits = bits.reshape(len(s), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2).astype(np.int64)     # (n, T)
+        return pd.Series(list(ids))
+
+    return _buckets(F.col(vec_col))
+
+
+def _cap_buckets(exploded: DataFrame, key_cols: list[str],
+                 bucket_cap: int | None) -> DataFrame:
+    """Drop bucket keys holding more than ``bucket_cap`` rows before a
+    self-join: one degenerate key (zero vectors, boilerplate text) turns
+    the candidate join quadratic — at 100 TB that is a dead query, and
+    a bucket that hot carries no similarity signal anyway.  The dropped
+    keys are observable via ``oversized_buckets``."""
+    if bucket_cap is None:
+        return exploded
+    big = (exploded.groupBy(*key_cols)
+                   .agg(F.count(F.lit(1)).alias("_bn"))
+                   .filter(F.col("_bn") > bucket_cap)
+                   .select(*key_cols))
+    return exploded.join(F.broadcast(big), key_cols, "left_anti")
+
+
+def oversized_buckets(exploded: DataFrame, key_cols: list[str],
+                      bucket_cap: int) -> DataFrame:
+    """Monitoring companion to the cap: (key, n) for skipped buckets."""
+    return (exploded.groupBy(*key_cols)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > bucket_cap))
+
+
+def banded_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_tables: int = 16,
+                     n_planes: int = 8, seed: int = 42,
+                     bucket_cap: int | None = 10000) -> DataFrame:
+    """Candidate pairs (id_a < id_b) colliding in >= 1 of the L tables."""
+    b = emb.select(F.col(id_col), F.col(vec_col),
+                   lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
+                   .alias("_bkts"))
+    e = b.select(id_col, F.posexplode("_bkts").alias("_tbl", "_bkt"))
+    e = _cap_buckets(e, ["_tbl", "_bkt"], bucket_cap)
+    left = e.select(F.col(id_col).alias("id_a"), "_tbl", "_bkt")
+    right = e.select(F.col(id_col).alias("id_b"), "_tbl", "_bkt")
+    return (left.join(right, ["_tbl", "_bkt"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -75,18 +160,29 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id",
-             n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign-LSH bucket,
-    exact cosine re-rank inside the bucket.  Recall trades off with
-    n_planes; at scale the bucket join replaces the cross join."""
+             query_id_col: str = "query_id", n_tables: int = 16,
+             n_planes: int = 8, seed: int = 42,
+             bucket_cap: int | None = 10000) -> DataFrame:
+    """Approximate top-k: candidates share >= 1 of the query's L band
+    buckets (OR-construction), exact cosine re-rank after.  Recall rises
+    with n_tables and falls with n_planes; at scale the bucket join
+    replaces the cross join and the query side stays broadcastable."""
     c = (emb.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("_cv"))
-            .withColumn("_bkt", sign_lsh_bucket("_cv", n_planes, seed)))
-    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
-                .withColumn("_bkt", sign_lsh_bucket("_qv", n_planes, seed)))
-    j = c.join(F.broadcast(q), "_bkt")
-    j = j.filter(F.col("neighbor_id") != F.col(query_id_col))
+                    F.col(vec_col).alias("_cv"),
+                    lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
+                    .alias("_bkts"))
+            .select("neighbor_id", "_cv",
+                    F.posexplode("_bkts").alias("_tbl", "_bkt")))
+    c = _cap_buckets(c, ["_tbl", "_bkt"], bucket_cap)
+    q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                        lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
+                        .alias("_bkts"))
+                .select(query_id_col, "_qv",
+                        F.posexplode("_bkts").alias("_tbl", "_bkt")))
+    j = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
+          .filter(F.col("neighbor_id") != F.col(query_id_col))
+          .select(query_id_col, "neighbor_id", "_qv", "_cv")
+          .distinct())
     j = j.withColumn("cosine", cosine_expr("_qv", "_cv"))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
