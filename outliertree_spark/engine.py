@@ -83,17 +83,28 @@ def _violations_from_batch(model: dict, pdf: pd.DataFrame,
     data = pandas_to_predict_arrays(pdf, model)
     res = predict_batch(model, data)
     rows = np.flatnonzero(res.score < 1.0)
+    raw_cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+    return _render_violation_rows(model, data, raw_cols, rows,
+                                  res.col, res.cluster, res.score,
+                                  res.depth, res.nab, id_cols)
+
+
+def _render_violation_rows(model: dict, data: dict, raw_cols: dict,
+                           rows, col_arr, cluster_arr, score_arr,
+                           depth_arr, nab_arr,
+                           id_cols: list[str]) -> pd.DataFrame:
+    """Render winner rows (from predict OR fit-time training winners)
+    into the B8 violation schema with explanations."""
     out = {c: [] for c in id_cols}
     cols = {f.name: [] for f in VIOLATION_FIELDS}
-    if rows.shape[0] == 0:
+    if len(rows) == 0:
         out.update(cols)
         return pd.DataFrame(out)
 
-    raw_cols = {c: pdf[c].to_numpy() for c in pdf.columns}
     cache = model.setdefault("_render_cache", {})
 
     for r in rows:
-        ci, cli = int(res.col[r]), int(res.cluster[r])
+        ci, cli = int(col_arr[r]), int(cluster_arr[r])
         key = (ci, cli)
         ent = cache.get(key)
         if ent is None:
@@ -151,9 +162,9 @@ def _violations_from_batch(model: dict, pdf: pd.DataFrame,
         cols["suspicious_value_num"].append(num_val)
         cols["group_statistics"].append(gs_json)
         cols["conditions"].append(ent["conds_json"])
-        cols["tree_depth"].append(int(res.depth[r]))
-        cols["uses_NA_branch"].append(bool(res.nab[r]))
-        cols["outlier_score"].append(float(res.score[r]))
+        cols["tree_depth"].append(int(depth_arr[r]))
+        cols["uses_NA_branch"].append(bool(nab_arr[r]))
+        cols["outlier_score"].append(float(score_arr[r]))
         cols["explanation"].append(expl)
     out.update(cols)
     return pd.DataFrame(out)
@@ -213,7 +224,8 @@ class SparkOutlierTree:
         if not fit_names:
             raise ValueError("no usable columns to fit on")
         import warnings
-        sdf = df.select(*fit_names)
+        keep_ids = [c for c in (id_cols or []) if c in df.columns]
+        sdf = df.select(*dict.fromkeys(keep_ids + fit_names))
         if n_rows is None:
             n_rows = sdf.count()
         if n_rows > cfg.max_fit_rows:
@@ -237,7 +249,37 @@ class SparkOutlierTree:
                                      if c.levels is not None}
         attach_conditions(model)
         self.model_ = model
+        # keep the (bounded) fit sample on the driver so training-time
+        # outliers can be rendered on demand (B2 `return_outliers`,
+        # reference __init__.py:243-353) — not serialized with the model
+        self._fit_pdf = pdf
+        self._fit_data = {c.name: c.values for c in cols}
+        self._fit_id_cols = [c for c in (id_cols or []) if c in pdf.columns]
         return self
+
+    # ------------------------------------------------------------------
+    def training_outliers(self) -> pd.DataFrame:
+        """Violation rows for the FIT sample using the fit-time winners
+        (reference ``fit(..., return_outliers=True)``, __init__.py:243-353
+        and R ``extract.training.outliers``, R/outliertree.R:375-440).
+
+        Note the documented semantics difference inherited from the
+        reference: fit-time winner selection can differ from ``predict``
+        on the same rows in rare ties (reference clusters.cpp:358-360
+        calls the predict-side rule "more trustable"); this renders the
+        fit-side winners, exactly like the reference's return_outliers."""
+        assert self.model_ is not None, "call fit() first"
+        assert getattr(self, "_fit_pdf", None) is not None, \
+            "training sample unavailable (model was loaded, not fitted)"
+        tr = self.model_["_train_rows"]
+        rows = np.flatnonzero(np.asarray(tr["scores"]) < 1.0)
+        raw_cols = {c: self._fit_pdf[c].to_numpy()
+                    for c in self._fit_pdf.columns}
+        return _render_violation_rows(
+            self.model_, self._fit_data, raw_cols, rows,
+            np.asarray(tr["col"]), np.asarray(tr["cluster"]),
+            np.asarray(tr["scores"]), np.asarray(tr["depth"]),
+            np.asarray(tr["nab"]), self._fit_id_cols)
 
     # ------------------------------------------------------------------
     def prefilter_expr(self, df: DataFrame):

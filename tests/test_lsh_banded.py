@@ -1,0 +1,162 @@
+"""Round-2 operator tests: banded sign-LSH recall, bucket caps, md5_60
+SimHash, shuffle-free shingles, and the training-outliers API."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, n=300, dim=32, n_dups=25, seed=7):
+    """Random unit vectors + planted near-dup copies (cosine ~0.97+)."""
+    rng = np.random.RandomState(seed)
+    x = rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(n)]
+    for i in range(n_dups):
+        v = x[i].copy()
+        v[0] += 0.2
+        v /= np.linalg.norm(v)
+        rows.append((int(1000 + i), [float(t) for t in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_banded_lsh_recall_vs_exact(spark):
+    """OR-construction recall >= 0.95 at cosine 0.8 (the single-band
+    construction this replaces measured ~16% here)."""
+    from outliertree_spark.operators.dedup import embedding_near_dups
+    from outliertree_spark.operators.similarity import cosine_expr
+
+    emb = _emb_df(spark)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cosine_expr("va", "vb"))
+             .filter(F.col("cosine") >= 0.8).select("id_a", "id_b"))
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert len(exact_pairs) >= 20  # the plant worked
+
+    found = embedding_near_dups(emb, min_cosine=0.8,
+                                n_tables=16, n_planes=8)
+    found_pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    assert found_pairs <= exact_pairs  # exact re-rank: no false positives
+    recall = len(found_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, f"recall {recall:.2f}"
+
+
+def test_bucket_cap_drops_degenerate_key(spark):
+    """A hot bucket (many identical vectors) is dropped, not joined
+    quadratically; normal pairs are still found."""
+    from outliertree_spark.operators.dedup import embedding_near_dups
+    from outliertree_spark.operators.similarity import (
+        lsh_bucket_arrays, oversized_buckets)
+
+    emb = _emb_df(spark, n=100, n_dups=10)
+    # 200 copies of one vector -> every band bucket it occupies is hot
+    hot = spark.range(5000, 5200).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(1.0)] + [F.lit(0.0)] * 31).alias("embedding"))
+    df = emb.unionByName(hot)
+    out = embedding_near_dups(df, min_cosine=0.8, n_tables=8, n_planes=8,
+                              bucket_cap=100)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # the degenerate identical block (cosine 1.0 pairs, ~19900 of them)
+    # was dropped by the cap...
+    assert not any(a >= 5000 and b >= 5000 for a, b in pairs)
+    # ...but planted near-dups elsewhere still come through
+    assert sum(1 for a, b in pairs if b >= 1000) >= 9
+    # and the monitoring view reports the hot buckets
+    e = (df.select("vec_id", lsh_bucket_arrays("embedding", 8, 8).alias("_b"))
+           .select("vec_id", F.posexplode("_b").alias("_tbl", "_bkt")))
+    big = oversized_buckets(e, ["_tbl", "_bkt"], 100)
+    assert big.count() >= 8  # the hot vector occupies one bucket per table
+
+
+def test_simhash_md5_matches_xxhash_semantics(spark):
+    """Identical docs collide at hamming 0 under both token hashes; the
+    md5_60 variant stays within 60 bits."""
+    from outliertree_spark.operators.dedup import simhash, simhash_near_dups
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark and parquet files"),
+            (4, "completely different text about spark and parquet files")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for th, bits in [("xxhash64", 64), ("md5_60", 60)]:
+        sh = simhash(d, bits=bits, token_hash=th).collect()
+        by_id = {r.doc_id: r.simhash for r in sh}
+        assert by_id[1] == by_id[2] and by_id[3] == by_id[4]
+        assert by_id[1] != by_id[3]
+        out = simhash_near_dups(d, max_hamming=0, bits=bits, token_hash=th)
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert got == {(1, 2), (3, 4)}
+    sh60 = simhash(d, bits=60, token_hash="md5_60").collect()
+    assert all(0 <= r.simhash < (1 << 60) for r in sh60)
+
+
+def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):
+    """The minhash signature plan must not shuffle the tokenized corpus:
+    no Window, and no Exchange below the partial aggregate (the only
+    exchanges allowed are the input spread and the final agg)."""
+    from outliertree_spark.operators.dedup import minhash_signatures, shingles
+
+    sigs = minhash_signatures(docs)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # row-local shingles: partial HashAggregate sits directly over the
+    # project/scan; a pre-agg shuffle would appear as an extra Exchange
+    assert plan.count("Exchange") <= 2, plan
+
+    sh = shingles(docs, k=3)
+    plan2 = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2 and "Window" not in plan2, plan2
+    # semantics: k-word shingles of a known string
+    one = (spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"))
+    got = shingles(one, k=3).collect()[0]["shingles"]
+    assert sorted(got) == ["a b c", "b c d"]
+    short = (spark.createDataFrame([(1, "a b")], "doc_id long, text string"))
+    assert shingles(short, k=3).collect()[0]["shingles"] == []
+
+
+def test_training_outliers_api(spark):
+    """B2 return_outliers analogue: fit-side winners rendered through the
+    B8 schema; the planted outlier matches predict on the same rows."""
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+    rng = np.random.RandomState(3)
+    n = 600
+    pdf = pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "grp": rng.choice(["a", "b"], n),
+        "y": rng.normal(50.0, 2.0, n),
+    })
+    pdf.loc[17, "y"] = 5e5
+    df = spark.createDataFrame(pdf)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["rid"])
+    tr = eng.training_outliers()
+    assert 17 in set(tr["rid"])
+    row = tr[tr.rid == 17].iloc[0]
+    assert row["suspicious_column"] == "y"
+    assert "500000" in row["explanation"] or "5e" in row["explanation"].lower()
+
+    pv = eng.predict(df, id_cols=["rid"]).toPandas()
+    prow = pv[pv.rid == 17].iloc[0]
+    assert prow["suspicious_column"] == row["suspicious_column"]
+    assert abs(prow["outlier_score"] - row["outlier_score"]) < 1e-9
+
+    import tempfile, os
+    p = os.path.join(tempfile.gettempdir(), "tr_model.json")
+    eng.save(p)
+    eng2 = SparkOutlierTree.load(p)
+    with pytest.raises(AssertionError):
+        eng2.training_outliers()
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
