@@ -21,8 +21,15 @@ ICEBERG_CONF_HINT = {
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually on the JVM classpath.
+
+    Note: ``spark._jvm.org.apache...`` attribute access can NOT be used
+    here — py4j resolves missing classes to a lazy JavaPackage without
+    raising, so that check always "succeeds".  Class.forName is the real
+    probe."""
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
         return True
     except Exception:
         return False
