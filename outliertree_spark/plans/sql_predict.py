@@ -253,13 +253,20 @@ def _worst_struct(col_ix: int = -1) -> Column:
 
 
 def score_sql(model: dict, df: DataFrame,
-              id_cols: list[str] | None = None) -> DataFrame:
+              id_cols: list[str] | None = None,
+              keep_cols: list[str] | None = None) -> DataFrame:
     """Pure-Catalyst flagging: one row per flagged input row with its
-    winning (column, cluster) — zero Python in the plan, single scan."""
+    winning (column, cluster) — zero Python in the plan, single scan.
+
+    ``keep_cols``: raw input columns to carry through to the output
+    (used by `engine.predict_at_scale` to render values/explanations
+    JVM-side)."""
     id_cols = id_cols or []
+    keep_cols = [c for c in (keep_cols or [])
+                 if c in df.columns and c not in id_cols]
     exprs = compile_score_exprs(model, set(df.columns))
     if not exprs:
-        empty = df.select(*id_cols).limit(0)
+        empty = df.select(*id_cols, *keep_cols).limit(0)
         return (empty.withColumn("suspicious_column", F.lit(""))
                 .withColumn("outlier_score", F.lit(0.0))
                 .withColumn("tree_depth", F.lit(0))
@@ -269,14 +276,14 @@ def score_sql(model: dict, df: DataFrame,
     per_col = list(exprs.values())
     overall = (F.least(*per_col, _worst_struct())
                if len(per_col) > 1 else per_col[0])
-    sel = df.select(*id_cols, overall.alias("_b"))
+    sel = df.select(*id_cols, *keep_cols, overall.alias("_b"))
     flagged = sel.filter(F.col("_b.cluster_id") >= 0)
     name_ix = {i: cm["name"] for i, cm in enumerate(model["columns"])}
     col_name = F.lit("")
     for ix, nm in name_ix.items():
         col_name = F.when(F.col("_b.col_ix") == ix, F.lit(nm)).otherwise(col_name)
     return flagged.select(
-        *id_cols,
+        *id_cols, *keep_cols,
         col_name.alias("suspicious_column"),
         F.col("_b.score").alias("outlier_score"),
         F.col("_b.depth").cast("long").alias("tree_depth"),

@@ -188,3 +188,36 @@ def test_follow_all_mode():
     res = predict_batch(m, {"age": age, "pregnant": preg.astype(np.int64),
                             "x": np.zeros(n)})
     assert res.score[planted] < 1.0
+
+
+def test_gritbot_export_escaping_and_footer(tmp_path):
+    """getnames.c rules: ',' ':' '.' '|' delimiters escaped with '\\';
+    '?' for missing; ordinals '[ordered]'; excluded-attributes footer."""
+    from outliertree_spark.gritbot_export import generate_gritbot_files
+    rng = np.random.RandomState(2)
+    n = 60
+    num1 = rng.normal(size=n)
+    cat = rng.randint(0, 2, size=n)
+    o = rng.randint(0, 3, size=n)
+    levels = ["a,b", "c:d.e"]  # delimiters inside level names
+    cols = [FitColumn("num.1", "numeric", num1.astype(float)),
+            FitColumn("cat", "categorical", cat.astype(np.int64),
+                      levels=levels),
+            FitColumn("ordc", "ordinal", o.astype(np.int64),
+                      levels=["lo", "mid", "hi"])]
+    m = _finish(fit_arrays(cols, ValidationConfig()), cols)
+    pdf = pd.DataFrame({"num.1": num1,
+                        "cat": np.array(levels, dtype=object)[cat],
+                        "ordc": np.array(["lo", "mid", "hi"])[o]})
+    pdf.loc[0, "cat"] = None
+    names, data = generate_gritbot_files(m, pdf, str(tmp_path),
+                                         cols_ignore=["ordc"])
+    ntext = open(names).read()
+    assert "num\\.1: continuous." in ntext
+    assert "cat: a\\,b, c\\:d\\.e." in ntext
+    assert "ordc: [ordered] lo, mid, hi." in ntext
+    assert "attributes excluded: ordc." in ntext
+    dlines = open(data).read().splitlines()
+    assert len(dlines) == n
+    assert ",?," in dlines[0]               # the planted missing value
+    assert "a\\,b" in "\n".join(dlines) or "c\\:d\\.e" in "\n".join(dlines)

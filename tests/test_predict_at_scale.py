@@ -1,0 +1,75 @@
+"""predict_at_scale: pure-Catalyst violations (score + broadcast cluster
+dimension + JVM-side template substitution) must match the Arrow path."""
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+
+def _planted_df(spark):
+    rng = np.random.RandomState(11)
+    n = 3000
+    grp = rng.choice(["a", "b"], n)
+    y = np.where(grp == "b", rng.normal(100.0, 5.0, n),
+                 rng.normal(0.0, 1.0, n))
+    b_rows = np.flatnonzero(grp == "b")
+    y[b_rows[0]] = 400.0
+    color = np.where(rng.rand(n) < 0.995, np.where(grp == "b", "red", "blue"),
+                     "green")
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                        "grp": grp, "y": y, "color": color})
+    return spark.createDataFrame(pdf), int(b_rows[0])
+
+
+def test_predict_at_scale_matches_predict(spark):
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+    df, planted = _planted_df(spark)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["rid"])
+
+    rich = eng.predict(df, id_cols=["rid"]).toPandas() \
+              .sort_values("rid").reset_index(drop=True)
+    fast = eng.predict_at_scale(df, id_cols=["rid"]).toPandas() \
+              .sort_values("rid").reset_index(drop=True)
+
+    assert list(rich.columns) == list(fast.columns)
+    assert list(rich["rid"]) == list(fast["rid"])
+    assert planted in set(fast["rid"])
+    for col in ("suspicious_column", "tree_depth", "uses_NA_branch"):
+        assert list(rich[col]) == list(fast[col]), col
+    assert np.allclose(rich["outlier_score"], fast["outlier_score"])
+    # same conditions payload
+    for a, b in zip(rich["conditions"], fast["conditions"]):
+        assert json.loads(a) == json.loads(b)
+    # group statistics agree numerically (fast embeds the same numbers)
+    for a, b in zip(rich["group_statistics"], fast["group_statistics"]):
+        da, db = json.loads(a), json.loads(b)
+        assert set(da) == set(db), (da, db)
+        for k in da:
+            if isinstance(da[k], float):
+                assert abs(da[k] - float(db[k])) < 1e-9, (k, da, db)
+            else:
+                assert str(da[k]) == str(db[k]), (k, da, db)
+    # explanations byte-equal when dynamic decimals == min_decimals
+    mism = [i for i in range(len(rich))
+            if rich.loc[i, "explanation"] != fast.loc[i, "explanation"]]
+    assert not mism, (rich.loc[mism[0], "explanation"],
+                      fast.loc[mism[0], "explanation"]) if mism else None
+
+
+def test_predict_at_scale_plan_is_python_free(spark):
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+    df, _ = _planted_df(spark)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["rid"])
+    fast = eng.predict_at_scale(df, id_cols=["rid"])
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEval", "BatchEval", "mapInPandas", "PythonUDF"):
+        assert marker not in plan, marker
+    # and the dimension join is a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

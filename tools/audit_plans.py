@@ -72,6 +72,15 @@ def main() -> None:
         "Model compiled to column expressions: no Python operator anywhere.",
         plan_of(eng.score(tbl, id_cols=["id"]))))
 
+    sections.append((
+        "Pure-Catalyst violations (predict_at_scale)",
+        "score() + BROADCAST join against the per-cluster dimension + "
+        "JVM-side template substitution: full violation rows "
+        "(explanations included) with zero Python in the plan — the "
+        "10^10-flagged-rows path. Violations carry (cluster_id, value); "
+        "all cluster-constant text lives in the broadcast dimension.",
+        plan_of(eng.predict_at_scale(tbl, id_cols=["id"]))))
+
     docs = load_documents(spark, SF)
     north = to_north_shape(docs, plant=True)
     sections.append((
@@ -102,6 +111,15 @@ def main() -> None:
         "Brute-force cosine top-k",
         "Broadcast the probe side; rank window per query.",
         plan_of(similarity.brute_force_topk(emb, q, k=3))))
+
+    sections.append((
+        "Banded sign-LSH near-dups",
+        "One vectorized Arrow pass computes all L band buckets (NumPy "
+        "matmul); oversized buckets removed by broadcast anti-join "
+        "(bucket cap) before the candidate self-join; exact cosine "
+        "re-rank after.",
+        plan_of(dedup.embedding_near_dups(emb, min_cosine=0.8,
+                                          n_tables=8, n_planes=8))))
 
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
