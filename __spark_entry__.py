@@ -149,6 +149,47 @@ def q_bounds_events(spark, sf_dir):
              .select("event_id", "event_type", F.round("value", 2).alias("value")))
 
 
+def q_asof_last_click(spark, sf_dir):
+    """AS-OF JOIN: every 'error' event gets the user's most recent
+    'click' at-or-before it.  Spark side = tag+union+window (one shuffle,
+    no range probe); oracle = DuckDB's native ASOF LEFT JOIN."""
+    from outliertree_spark.operators.joins import as_of_join
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error") \
+               .select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("user_id", "ts")
+    j = as_of_join(errors, clicks, on="user_id",
+                   left_ts="ts", right_ts="ts")
+    return j.select("event_id", "user_id",
+                    F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss")
+                     .alias("last_click_ts"))
+
+
+def q_events_within_minute(spark, sf_dir):
+    """Keyed band join: per user, count ordered event pairs within 60s."""
+    from outliertree_spark.operators.joins import time_window_pairs
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    pairs = time_window_pairs(ev, "user_id", "ts", 60, id_col="event_id")
+    return (pairs.groupBy(F.col("user_id_a").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: parse the JSON props column and
+    aggregate the embedded metric per event type (get_json_object stays
+    in codegen; no Python)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("_k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("_k"), 6).alias("avg_k"),
+                 F.max("_k").alias("max_k"),
+                 F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint")
+                  .alias("n_missing")))
+
+
 def q_token_counts(spark, sf_dir):
     from outliertree_spark.operators.text import bpe_ish_token_count, token_count
     d = _docs(spark, sf_dir)
@@ -356,6 +397,16 @@ def q_fingerprints(spark, sf_dir):
     return d.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (local-minimum rolling hashes over
+    5-gram shingles, window 4), md5_60 token hash so DuckDB recomputes
+    the minima bit-for-bit.  Output exploded to (doc_id, fp) rows."""
+    from outliertree_spark.operators.text import winnowing_fingerprints
+    fp = winnowing_fingerprints(_docs(spark, sf_dir), k=5, window=4,
+                                token_hash="md5_60")
+    return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
 def _planted_embeddings(spark, sf_dir):
     """Deterministic near-dup plant: for vec_id % 20 == 0, a copy with
     +0.25 added to dimension 0 (cosine ~0.97 for these unit-norm
@@ -405,6 +456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_kl_nchars": q_drift_kl_nchars,
         "ts_range_events": q_ts_range_events,
         "bounds_events": q_bounds_events,
+        "json_props": q_json_props,
+        "asof_last_click": q_asof_last_click,
+        "events_within_minute": q_events_within_minute,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -421,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "fingerprints": q_fingerprints,
+        "winnowing": q_winnowing,
         "ann_recall": q_ann_recall,
         "embedding_near_dups": q_embedding_near_dups,
         # rows-only (non-SQL-expressible; see each docstring)
@@ -616,6 +671,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN stats s ON e.event_type = s.event_type
             WHERE abs(e.value - s.mu) > 4 * s.sd
         """,
+        "asof_last_click": """
+            SELECT e.event_id, e.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "events_within_minute": """
+            SELECT a.user_id, count(*) AS n_pairs
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 60 SECONDS
+            GROUP BY a.user_id
+        """,
+        "json_props": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+                   CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(sum(CASE WHEN props->>'$.k' IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+            FROM events GROUP BY event_type
+        """,
         "token_counts": f"""
             SELECT doc_id,
                    {n_tokens} AS n_tokens,
@@ -761,6 +841,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dups": _jaccard_pairs_sql(0.7),
         "simhash_dups": _simhash_pairs_sql(3),
+        "winnowing": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(toks) - 4),
+                         i -> CAST('0x' || substr(md5(
+                                  array_to_string(toks[i:i+4], ' ')), 1, 15)
+                              AS BIGINT)) AS h
+              FROM t WHERE len(toks) >= 5),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(h) >= 4
+                          THEN list_transform(generate_series(1, len(h) - 3),
+                                              i -> list_min(h[i:i+3]))
+                          ELSE h END) AS mins
+              FROM sh)
+            SELECT doc_id, unnest(mins) AS fp FROM w
+        """,
         "fingerprints": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))

@@ -103,17 +103,34 @@ def fingerprint(text: Column | str) -> Column:
 
 def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 5,
-                           window: int = 4) -> DataFrame:
+                           window: int = 4,
+                           token_hash: str = "xxhash64") -> DataFrame:
     """Winnowing (local-minimum rolling hashes over k-grams): the standard
     plagiarism/fingerprint scheme, as array ops — per doc, hash every
-    k-token shingle, then keep each window's minimum."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    k-token shingle, then keep each window's minimum.  All row-local: no
+    exchange anywhere.
+
+    ``token_hash="md5_60"`` hashes shingles as the first 15 md5 hex chars
+    (60-bit), which DuckDB reproduces bit-for-bit — the SQL-oracle path;
+    ``"xxhash64"`` is the cheaper scale default.  Docs shorter than k
+    tokens yield an empty fingerprint array."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    hashes = F.transform(idx, lambda i: F.xxhash64(
-        F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    idx = F.sequence(F.lit(0), n - k)
+    if token_hash == "md5_60":
+        def _h(i):
+            sh = F.concat_ws(" ", F.slice(toks, i + 1, k))
+            return F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+    else:
+        def _h(i):
+            return F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    hashes = F.when(n >= k, F.transform(idx, _h)) \
+              .otherwise(F.array().cast("array<long>"))
     m = F.size(hashes)
-    widx = F.sequence(F.lit(0), F.greatest(m - window, F.lit(0)))
-    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    widx = F.sequence(F.lit(0), m - window)
+    mins = F.when(m >= window,
+                  F.transform(widx, lambda i: F.array_min(
+                      F.slice(hashes, i + 1, window)))) \
+            .otherwise(hashes)  # fewer hashes than a window: keep all
     return df.select(F.col(id_col),
                      F.array_distinct(mins).alias("fingerprints"))

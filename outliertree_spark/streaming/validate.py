@@ -19,6 +19,17 @@ def stream_violations(engine, stream_df: DataFrame,
     return engine.predict(stream_df, id_cols=id_cols)
 
 
+def stream_violations_at_scale(engine, stream_df: DataFrame,
+                               id_cols: list[str] | None = None) -> DataFrame:
+    """Violation stream with ZERO Python in the streaming plan:
+    `engine.predict_at_scale` is a stateless project/filter plus a
+    stream-static BROADCAST join against the per-cluster dimension — all
+    whole-stage codegen, so the micro-batch path never round-trips
+    through Python workers.  Same rows as `stream_violations`
+    (equivalence-tested batch-side)."""
+    return engine.predict_at_scale(stream_df, id_cols=id_cols)
+
+
 def windowed_verdicts(engine, stream_df: DataFrame, ts_col: str,
                       window: str = "5 minutes",
                       watermark: str = "10 minutes",

@@ -73,3 +73,29 @@ def test_predict_at_scale_plan_is_python_free(spark):
         assert marker not in plan, marker
     # and the dimension join is a broadcast, not a shuffle
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stream_violations_at_scale_python_free(spark, tmp_path):
+    """The at-scale violations path runs on a streaming DataFrame with no
+    Python operator in the micro-batch plan (stream-static broadcast
+    join + codegen), and flags the same planted row."""
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+    from outliertree_spark.streaming.validate import (
+        run_stream_to_memory, stream_violations_at_scale)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(ev, id_cols=["event_id"], cols_ignore=["props"])
+    bad = ev.withColumn("value", F.when(F.col("event_id") == 5, 8.8e8)
+                        .otherwise(F.col("value")))
+    src = str(tmp_path / "scale_stream_src")
+    bad.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(bad.schema).parquet(src)
+    v = stream_violations_at_scale(eng, stream, id_cols=["event_id"])
+    plan = v._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    run_stream_to_memory(v, "viol_stream_scale")
+    got = spark.sql("SELECT * FROM viol_stream_scale").toPandas()
+    assert 5 in set(got["event_id"])
+    assert got[got.event_id == 5].iloc[0]["suspicious_column"] == "value"
+    assert "880000000" in got[got.event_id == 5].iloc[0]["explanation"]
