@@ -435,6 +435,17 @@ def q_ann_recall(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Recall gate for the IVF ANN path (the brief's 'IVF variant as the
+    scale path'): near-dups >= 0.8 over the planted corpus via k-means
+    cell self-join (multi-assign n=2) + exact re-rank.  Oracled against
+    the exact all-pairs query — hash equality proves recall 1.0."""
+    from outliertree_spark.operators.ivf import ivf_near_dups
+    p = _planted_embeddings(spark, sf_dir)
+    out = ivf_near_dups(p, min_cosine=0.8, k_cells=32, n_assign=2)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Banded-LSH near-dups on the natural corpus at cosine >= 0.8.
     Oracled against the exact all-pairs query (empty on this fixture —
@@ -477,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "winnowing": q_winnowing,
         "ann_recall": q_ann_recall,
+        "ivf_recall": q_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
@@ -867,6 +879,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                      AS fp
             FROM documents
+        """,
+        "ivf_recall": _PLANTED_EMB_SQL + """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+            FROM p a, p b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.8
         """,
         "ann_recall": _PLANTED_EMB_SQL + """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

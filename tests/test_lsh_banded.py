@@ -160,3 +160,49 @@ import pytest as _pytest
 @_pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_ivf_near_dups_recall(spark):
+    """IVF cell-join ANN: recall >= 0.95 at cosine 0.8 on planted
+    near-dups with 2-cell multi-assignment; no false positives."""
+    from outliertree_spark.operators.dedup import embedding_near_dups
+    from outliertree_spark.operators.ivf import ivf_near_dups
+    from outliertree_spark.operators.similarity import cosine_expr
+
+    emb = _emb_df(spark)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {(r.id_a, r.id_b) for r in
+             (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("cosine", cosine_expr("va", "vb"))
+              .filter(F.col("cosine") >= 0.8)
+              .select("id_a", "id_b").collect())}
+    found = {(r.id_a, r.id_b) for r in
+             ivf_near_dups(emb, min_cosine=0.8, k_cells=24,
+                           n_assign=2).collect()}
+    assert found <= exact
+    assert len(found & exact) / len(exact) >= 0.95
+
+
+def test_ivf_topk_matches_bruteforce_on_clustered_data(spark):
+    """With clear cluster structure, IVF top-1 with nprobe=4 recovers the
+    brute-force nearest neighbor for most queries."""
+    from outliertree_spark.operators.ivf import ivf_topk
+    from outliertree_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.standard_normal(32) * 0.3
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(t) for t in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    bf = brute_force_topk(emb, q, k=1).toPandas()
+    iv = ivf_topk(emb, q, k=1, k_cells=16, nprobe=4).toPandas()
+    bf1 = dict(zip(bf.query_id, bf.neighbor_id))
+    iv1 = dict(zip(iv.query_id, iv.neighbor_id))
+    hits = sum(1 for k in bf1 if iv1.get(k) == bf1[k])
+    assert hits >= 7, (bf1, iv1)
