@@ -83,6 +83,135 @@ def extract_features(df: DataFrame, fake: bool = False,
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def sniff_mime_expr(payload_col: str = "payload"):
+    """Content-type from magic bytes, pure Catalyst (hex(substring) on the
+    binary column inside codegen) — no Python, no libraries.  This is the
+    real operation (not a stub): format detection at 100 TB should never
+    ship payload bytes to Python."""
+    c = F.col(payload_col)
+
+    def magic(pos, hexs):
+        return F.hex(F.substring(c, pos, len(hexs) // 2)) == hexs
+
+    return (F.when(magic(1, "89504E470D0A1A0A"), "image/png")
+             .when(magic(1, "FFD8FF"), "image/jpeg")
+             .when(magic(1, "474946383761") | magic(1, "474946383961"),
+                   "image/gif")
+             .when(magic(1, "52494646") & magic(9, "57415645"), "audio/wav")
+             .when(magic(1, "494433") | magic(1, "FFFB"), "audio/mpeg")
+             .when(magic(5, "66747970"), "video/mp4")
+             .otherwise("application/octet-stream"))
+
+
+def _be_int(c, pos, nbytes):
+    return F.conv(F.hex(F.substring(c, pos, nbytes)), 16, 10).cast("long")
+
+
+def png_dims_expr(payload_col: str = "payload"):
+    """(width, height) struct for PNG payloads: IHDR big-endian ints at
+    fixed offsets 17/21 — pure Catalyst byte arithmetic."""
+    c = F.col(payload_col)
+    return F.struct(_be_int(c, 17, 4).alias("width"),
+                    _be_int(c, 21, 4).alias("height"))
+
+
+def gif_dims_expr(payload_col: str = "payload"):
+    """(width, height) for GIF: little-endian u16 at offsets 7/9."""
+    c = F.col(payload_col)
+    w = _be_int(c, 7, 1) + _be_int(c, 8, 1) * 256
+    h = _be_int(c, 9, 1) + _be_int(c, 10, 1) * 256
+    return F.struct(w.alias("width"), h.alias("height"))
+
+
+METADATA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate_hz", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+
+def parse_header(payload: bytes) -> dict:
+    """Real (library-free) container-header parser: PNG/GIF fixed
+    offsets, JPEG SOF segment walk, WAV fmt chunk.  Only pixel/sample
+    DECODING remains stubbed (real_decode); header metadata is fully
+    implemented."""
+    import struct as _struct
+    out = {"mime": "application/octet-stream", "width": None, "height": None,
+           "sample_rate_hz": None, "n_channels": None}
+    if not payload:
+        return out
+    b = payload
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        out["mime"] = "image/png"
+        out["width"], out["height"] = _struct.unpack(">II", b[16:24])
+    elif b[:3] == b"\xff\xd8\xff":
+        out["mime"] = "image/jpeg"
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = _struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out["height"], out["width"] = _struct.unpack(
+                    ">HH", b[i + 5:i + 9])
+                break
+            i += 2 + seglen
+    elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        out["mime"] = "image/gif"
+        out["width"], out["height"] = _struct.unpack("<HH", b[6:10])
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        out["mime"] = "audio/wav"
+        i = 12
+        while i + 8 <= len(b):
+            cid, clen = b[i:i + 4], _struct.unpack("<I", b[i + 4:i + 8])[0]
+            if cid == b"fmt " and i + 16 <= len(b):
+                out["n_channels"], out["sample_rate_hz"] = _struct.unpack(
+                    "<HI", b[i + 10:i + 16])
+                break
+            i += 8 + clen + (clen % 2)
+    elif b[:3] == b"ID3" or b[:2] == b"\xff\xfb":
+        out["mime"] = "audio/mpeg"
+    elif len(b) >= 8 and b[4:8] == b"ftyp":
+        out["mime"] = "video/mp4"
+    return out
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over binary payloads using the
+    real header parser (Arrow-batched; bytes never leave the executor)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            metas = [parse_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": [m["mime"] for m in metas],
+                "width": pd.array([m["width"] for m in metas],
+                                  dtype="Int32"),
+                "height": pd.array([m["height"] for m in metas],
+                                   dtype="Int32"),
+                "sample_rate_hz": pd.array(
+                    [m["sample_rate_hz"] for m in metas], dtype="Int32"),
+                "n_channels": pd.array([m["n_channels"] for m in metas],
+                                       dtype="Int32"),
+                "n_bytes": [len(p) if p is not None else 0
+                            for p in pdf["payload"]],
+            })
+
+    return df.mapInPandas(run, schema=METADATA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Plan-level frame sampling for video rows: one output row per
     sampled timestamp (the decode of each frame is the stubbed part);
