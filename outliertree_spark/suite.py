@@ -107,14 +107,19 @@ class ValidationSuite:
 
     def run(self, df: DataFrame, partition_col: str,
             id_cols: list[str] | None = None,
-            max_violation_rate: float | None = None
-            ) -> tuple[DataFrame, DataFrame]:
+            max_violation_rate: float | None = None,
+            at_scale: bool = False) -> tuple[DataFrame, DataFrame]:
+        """``at_scale=True`` routes the derived (tree) violations through
+        `engine.predict_at_scale` — the whole suite then contains no
+        Python operator (declared checks are already pure Catalyst)."""
         id_cols = list(dict.fromkeys([partition_col] + (id_cols or [])))
         rate = (max_violation_rate if max_violation_rate is not None
                 else self.engine.config.pct_outliers)
 
+        predict = (self.engine.predict_at_scale if at_scale
+                   else self.engine.predict)
         # derived (tree) violations
-        derived = (self.engine.predict(df, id_cols=id_cols)
+        derived = (predict(df, id_cols=id_cols)
                    .select(*id_cols, "suspicious_column",
                            F.col("suspicious_value").alias("check_value"),
                            "outlier_score", "explanation")

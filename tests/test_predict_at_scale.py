@@ -99,3 +99,51 @@ def test_stream_violations_at_scale_python_free(spark, tmp_path):
     assert 5 in set(got["event_id"])
     assert got[got.event_id == 5].iloc[0]["suspicious_column"] == "value"
     assert "880000000" in got[got.event_id == 5].iloc[0]["explanation"]
+
+
+def test_predict_at_scale_timestamp_target(spark):
+    """Timestamp targets: encoded-value side selection + UTC display
+    format agree with the Arrow path."""
+    import datetime as dt
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+    rng = np.random.RandomState(9)
+    n = 2000
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=int(s))
+          for s in rng.randint(0, 7 * 24 * 3600, n)]
+    ts[3] = base + dt.timedelta(days=900)      # far future
+    ts[4] = base - dt.timedelta(days=900)      # far past
+    pdf = pd.DataFrame({"rid": np.arange(n, dtype=np.int64),
+                        "warc_ts": ts, "x": rng.normal(size=n)})
+    df = spark.createDataFrame(pdf)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["rid"])
+    rich = eng.predict(df, id_cols=["rid"]).toPandas() \
+              .sort_values("rid").reset_index(drop=True)
+    fast = eng.predict_at_scale(df, id_cols=["rid"]).toPandas() \
+              .sort_values("rid").reset_index(drop=True)
+    assert {3, 4} <= set(fast["rid"])
+    assert list(rich["rid"]) == list(fast["rid"])
+    assert np.allclose(rich["outlier_score"], fast["outlier_score"])
+    assert np.allclose(rich["suspicious_value_num"], fast["suspicious_value_num"])
+    assert list(rich["explanation"]) == list(fast["explanation"])
+
+
+def test_suite_at_scale_python_free(spark):
+    from outliertree_spark import ValidationConfig
+    from outliertree_spark.suite import ValidationSuite
+
+    df, planted = _planted_df(spark)
+    df = df.withColumn("part", F.col("rid") % 4)
+    suite = (ValidationSuite(ValidationConfig())
+             .add_uniqueness("rid"))
+    suite.fit(df, id_cols=["rid"])
+    viols, verdicts = suite.run(df, partition_col="part", id_cols=["rid"],
+                                at_scale=True)
+    plan = viols._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEval", "BatchEval", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, marker
+    got = viols.toPandas()
+    assert planted in set(got[got.check == "derived"]["rid"])
+    assert verdicts.count() == 4
