@@ -447,8 +447,16 @@ class SparkOutlierTree:
         Same rows, scores and conditions as `predict` (equivalence-tested);
         the only difference is fixed ``min_decimals`` display precision
         where the Arrow path refines decimals per row (misc.cpp:640-669).
-        Use this at 10^10+ flagged rows where even the prefilter-bounded
-        per-row Python of `predict` would dominate."""
+
+        When to use which (measured at 20M rows / 290k candidates): the
+        winner expression is too large for whole-stage codegen on
+        non-trivial models, so it evaluates interpreted at ~17 us per
+        candidate — comparable to the Arrow path's compiled per-row
+        Python, and `predict` is currently ~2x faster end-to-end.  Choose
+        this path for its ARCHITECTURE, not speed: Structured Streaming
+        micro-batches (no Python workers in the streaming plan), clusters
+        where Python workers are unavailable/restricted, or executors
+        under memory pressure from Arrow transfer buffers."""
         from .plans.sql_predict import score_sql
         assert self.model_ is not None, "call fit() first"
         model = self.model_
