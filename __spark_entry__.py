@@ -456,6 +456,50 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-dup pairs (MinHash
+    candidates -> exact Jaccard >= 0.7 -> iterative min-label
+    propagation).  Oracled: DuckDB recursive CTE over the exact
+    all-pairs Jaccard edge set computes the same min-reachable-id
+    labels."""
+    from outliertree_spark.operators.components import connected_components
+    from outliertree_spark.operators.dedup import (minhash_lsh_candidates,
+                                                   ngram_jaccard)
+    d = _docs(spark, sf_dir)
+    pairs = (ngram_jaccard(minhash_lsh_candidates(d), d)
+             .filter(F.col("jaccard") >= 0.7))
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language hash sampling (md5_60 flavor so DuckDB
+    recomputes the same buckets bit-for-bit): keep 10% of en, 50% of de,
+    100% of everything else, keyed on doc_id."""
+    from outliertree_spark.operators.sampling import stratified_sample
+    out = stratified_sample(_docs(spark, sf_dir), "lang",
+                            {"en": 0.10, "de": 0.50}, "doc_id",
+                            default_rate=1.0, hash_kind="md5_60")
+    return out.select("doc_id", "lang")
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Top-50 vocabulary terms by (doc_freq, term_freq, term) — a
+    corpus-profiling aggregate with map-side combine; the exchange
+    carries vocabulary-sized partials."""
+    from outliertree_spark.operators.text import vocab_top_terms
+    return vocab_top_terms(_docs(spark, sf_dir), n=50)
+
+
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style duplicate-2gram repetition ratio per document —
+    row-local array math, no exchange."""
+    from outliertree_spark.operators.text import repetition_scores
+    r = repetition_scores(_docs(spark, sf_dir), k=2)
+    return r.select("doc_id", "n_grams",
+                    F.round("dup_gram_ratio", 6).alias("dup_gram_ratio"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -490,6 +534,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "vocab_top_terms": q_vocab_top_terms,
+        "repetition_scores": q_repetition_scores,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
         "ann_lsh": q_ann_lsh,
@@ -916,5 +964,54 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice, 2) AS o_totalprice,
                    CAST(rnk AS INTEGER) AS rnk
             FROM r WHERE rnk <= 3
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(id, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+            SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'),
+                                      1, 15) AS BIGINT) % 1000000
+                  < CASE lang WHEN 'en' THEN 100000
+                              WHEN 'de' THEN 500000
+                              ELSE 1000000 END
+        """,
+        "vocab_top_terms": r"""
+            WITH ex AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\s+')) AS term
+                FROM documents)
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                   CAST(count(*) AS BIGINT) AS term_freq
+            FROM ex WHERE length(term) > 0
+            GROUP BY term
+            ORDER BY doc_freq DESC, term_freq DESC, term ASC LIMIT 50
+        """,
+        "repetition_scores": r"""
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                   round(CASE WHEN len(grams) > 0
+                         THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                              / len(grams)
+                         ELSE 0.0 END, 6) AS dup_gram_ratio
+            FROM (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2 THEN
+                             list_transform(generate_series(1, len(toks) - 1),
+                                            i -> array_to_string(toks[i:i+1],
+                                                                 ' '))
+                         ELSE [] END AS grams
+                  FROM (SELECT doc_id,
+                               regexp_split_to_array(lower(trim(text)),
+                                                     '\s+') AS toks
+                        FROM documents))
         """,
     }

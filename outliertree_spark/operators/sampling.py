@@ -1,0 +1,85 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+At 100 TB, "sample 1%" must be (a) a single scan with a cheap row-local
+predicate — no shuffle, no global sort, no RNG state — and (b) STABLE:
+re-running the job, changing partitioning, or adding executors must
+select the same rows, or downstream dedup/metrics silently drift.  Both
+follow from hashing a key column instead of drawing randoms:
+
+    keep  <=>  hash(key) mod M  <  rate * M
+
+Two hash flavors, same semantics:
+
+- ``xxhash64`` (scale default): 8-byte JVM-side hash, whole-stage
+  codegen, fastest.
+- ``md5_60`` (oracle flavor): 60 bits from the first 15 hex chars of
+  md5, bit-for-bit reproducible in DuckDB/any SQL engine via
+  ``CAST('0x' || substr(md5(key), 1, 15) AS BIGINT)`` — this is what
+  makes the sampling operators SQL-oracleable.
+
+Stratified sampling takes a per-stratum rate map (e.g. downsample
+English, keep all low-resource languages) and compiles it to ONE
+``CASE WHEN`` predicate — still a single scan, still shuffle-free; the
+rate map is a plain literal, not a join (it is human-sized).
+
+The reference has no sampling operator (it always fits in memory);
+this is a north-rule/pipeline addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MOD = 1_000_000  # rate resolution 1e-6
+
+
+def _hash_bucket(key: Column, salt: str, hash_kind: str) -> Column:
+    """Uniform bucket in [0, _MOD) from a salted hash of ``key``."""
+    if hash_kind == "md5_60":
+        h = F.conv(F.substring(F.md5(F.concat(key.cast("string"),
+                                              F.lit(salt))), 1, 15),
+                   16, 10).cast("long")
+        return F.pmod(h, F.lit(_MOD))
+    return F.pmod(F.xxhash64(key.cast("string"), F.lit(salt)), F.lit(_MOD))
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str,
+                salt: str = "s0", hash_kind: str = "xxhash64") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by hashed key.
+
+    Rows with equal keys are kept or dropped together (hash of the key,
+    not of the row) — the property dedup-aware pipelines want."""
+    assert 0.0 <= rate <= 1.0
+    b = _hash_bucket(F.col(key_col), salt, hash_kind)
+    return df.filter(b < int(round(rate * _MOD)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], key_col: str,
+                      default_rate: float = 0.0, salt: str = "s0",
+                      hash_kind: str = "xxhash64") -> DataFrame:
+    """Per-stratum deterministic sampling: one scan, one CASE WHEN
+    threshold per stratum, no shuffle.  Strata missing from ``rates``
+    get ``default_rate``."""
+    b = _hash_bucket(F.col(key_col), salt, hash_kind)
+    thr: Column = F.lit(int(round(default_rate * _MOD)))
+    for stratum, rate in sorted(rates.items()):
+        assert 0.0 <= rate <= 1.0
+        thr = F.when(F.col(strata_col) == stratum,
+                     F.lit(int(round(rate * _MOD)))).otherwise(thr)
+    return df.filter(b < thr)
+
+
+def split_train_holdout(df: DataFrame, holdout_rate: float, key_col: str,
+                        salt: str = "split",
+                        hash_kind: str = "xxhash64") -> DataFrame:
+    """Add a deterministic ``split`` column ('train'/'holdout') keyed on
+    ``key_col`` — equal keys land in the same split, so duplicates can
+    never straddle the train/eval boundary (the contamination property
+    LLM pipelines need).  Column, not filter: one scan serves both
+    sides."""
+    b = _hash_bucket(F.col(key_col), salt, hash_kind)
+    return df.withColumn(
+        "split",
+        F.when(b < int(round(holdout_rate * _MOD)), F.lit("holdout"))
+         .otherwise(F.lit("train")))

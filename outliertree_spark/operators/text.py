@@ -134,3 +134,59 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
             .otherwise(hashes)  # fewer hashes than a window: keep all
     return df.select(F.col(id_col),
                      F.array_distinct(mins).alias("fingerprints"))
+
+
+def vocab_term_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: (term, doc_freq, term_freq) over lowercase
+    whitespace tokens.
+
+    Shape at scale: tokens explode WITHIN the input partition and feed a
+    single codegen'd hash aggregate with map-side combine, so the one
+    exchange carries (term, partial df, partial tf) — vocabulary-sized,
+    not corpus-sized.  ``doc_freq`` counts documents containing the term
+    (distinct per doc via row-local ``array_distinct`` on a second
+    explode-free pass folded into the same aggregate: we explode the
+    full token list once and count ``tf = count(*)`` plus
+    ``df = count(distinct id)``; the distinct-by-doc is the only
+    memory-bearing part and stays bounded by (term x doc) pairs after
+    map-side dedup)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .filter(F.length("term") > 0))
+    return (ex.groupBy("term")
+              .agg(F.count_distinct(id_col).alias("doc_freq"),
+                   F.count(F.lit(1)).alias("term_freq")))
+
+
+def vocab_top_terms(df: DataFrame, n: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Top-``n`` vocabulary terms by (doc_freq desc, term_freq desc,
+    term asc) — total order, so the cut is deterministic.  TopK over the
+    vocabulary aggregate: Spark plans this as TakeOrderedAndProject
+    (per-partition heaps, no global sort materialization)."""
+    v = vocab_term_stats(df, id_col, text_col)
+    return v.orderBy(F.desc("doc_freq"), F.desc("term_freq"),
+                     F.asc("term")).limit(n)
+
+
+def repetition_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 2) -> DataFrame:
+    """Gopher-style repetition quality signal: per document, the
+    fraction of word k-grams that are duplicates of an earlier k-gram
+    (``1 - distinct/total``).  Boilerplate and spam score high; prose
+    scores near 0.  Entirely row-local array math — no exchange, scales
+    with the scan."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    grams = F.when(n >= k,
+                   F.transform(F.sequence(F.lit(0), n - k),
+                               lambda i: F.concat_ws(
+                                   " ", F.slice(toks, i + 1, k)))) \
+             .otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("double")
+    distinct = F.size(F.array_distinct(grams)).cast("double")
+    ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
+    return df.select(F.col(id_col),
+                     total.cast("long").alias("n_grams"),
+                     ratio.alias("dup_gram_ratio"))

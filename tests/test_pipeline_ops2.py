@@ -1,0 +1,145 @@
+"""Round-2 pipeline operators: connected components, deterministic
+sampling, vocabulary stats, repetition scores."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from outliertree_spark.operators.components import (connected_components,
+                                                    duplicate_groups)
+from outliertree_spark.operators.sampling import (hash_sample,
+                                                  split_train_holdout,
+                                                  stratified_sample)
+from outliertree_spark.operators.text import (repetition_scores,
+                                              vocab_term_stats,
+                                              vocab_top_terms)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- CC
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_cc_two_components_and_isolated_star(spark):
+    # star {1,2,3,4} + chain {10,11,12} + pair {20,21}
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (11, 10), (11, 12), (21, 20)])
+    got = {r["id"]: r["component"]
+           for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_cc_chain_needs_multiple_rounds(spark):
+    # a path graph stresses the propagation depth (min must travel the
+    # full chain); labels converge to the chain head
+    n = 12
+    e = _edges(spark, [(i + 1, i) for i in range(n)])
+    got = {r["id"]: r["component"]
+           for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_cc_max_iter_guard(spark):
+    e = _edges(spark, [(1, 0), (2, 1), (3, 2), (4, 3)])
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=1)
+
+
+def test_duplicate_groups_summary(spark):
+    e = _edges(spark, [(5, 9), (9, 7), (30, 31)])
+    got = {r["component"]: (r["n_members"], r["keep_id"])
+           for r in duplicate_groups(e).collect()}
+    assert got == {5: (3, 5), 30: (2, 30)}
+
+
+# ----------------------------------------------------------- sampling
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_unbiased(spark, docs):
+    a = hash_sample(docs, 0.3, "doc_id")
+    b = hash_sample(docs, 0.3, "doc_id")
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b  # rerun-stable
+    n = docs.count()
+    assert 0.15 * n < len(ids_a) < 0.45 * n  # loose binomial bound
+    # nested property: a 10% sample is a subset of the 30% sample
+    ids_c = set(r["doc_id"] for r in
+                hash_sample(docs, 0.1, "doc_id").select("doc_id").collect())
+    assert ids_c <= set(ids_a)
+
+
+def test_hash_sample_rate_edges(spark, docs):
+    assert hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert hash_sample(docs, 1.0, "doc_id").count() == docs.count()
+
+
+def test_hash_sample_md5_matches_xxhash_semantics(spark, docs):
+    # different hashes select different rows but equivalent rates
+    n = docs.count()
+    m = hash_sample(docs, 0.5, "doc_id", hash_kind="md5_60").count()
+    assert 0.3 * n < m < 0.7 * n
+
+
+def test_stratified_sample_rates(spark, docs):
+    out = stratified_sample(docs, "lang", {"en": 0.0}, "doc_id",
+                            default_rate=1.0)
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert "en" not in langs
+    n_other = docs.filter(F.col("lang") != "en").count()
+    assert out.count() == n_other
+
+
+def test_split_train_holdout_no_straddle(spark, docs):
+    # duplicate every doc_id via union: equal keys must share a split
+    dup = docs.unionByName(docs)
+    s = split_train_holdout(dup, 0.25, "doc_id")
+    straddle = (s.groupBy("doc_id")
+                 .agg(F.count_distinct("split").alias("k"))
+                 .filter(F.col("k") > 1).count())
+    assert straddle == 0
+    n = docs.count()
+    n_hold = s.filter("split = 'holdout'").count() // 2
+    assert 0.1 * n < n_hold < 0.4 * n
+
+
+# ----------------------------------------------------- vocab / repeat
+
+def test_vocab_term_stats_tiny(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "")],
+        "doc_id long, text string")
+    got = {r["term"]: (r["doc_freq"], r["term_freq"])
+           for r in vocab_term_stats(df).collect()}
+    assert got == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
+
+
+def test_vocab_top_terms_total_order(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "y z")], "doc_id long, text string")
+    rows = vocab_top_terms(df, n=2).collect()
+    # all ties on (df, tf): alphabetical wins
+    assert [r["term"] for r in rows] == ["x", "y"]
+
+
+def test_repetition_scores_values(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),   # 3 bigrams, all "spam spam"
+         (2, "all words are unique"),  # 3 distinct bigrams
+         (3, "one"),                   # shorter than k
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], round(r["dup_gram_ratio"], 6))
+           for r in repetition_scores(df, k=2).collect()}
+    assert got[1] == (3, round(1 - 1 / 3, 6))
+    assert got[2] == (3, 0.0)
+    assert got[3] == (0, 0.0)
+    assert got[4] == (0, 0.0)

@@ -79,6 +79,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         cs = canon([tuple(r) for r in srows], scols)
         cd = canon(drows, dcols)
         ok_vals = cs == cd
+        # Type-kind check: the driver's value hash is sensitive to pandas
+        # dtype (int64 1 vs float64 1.0 hash differently even though they
+        # compare equal in Python) — mirror that with a numeric-kind probe
+        # on the first row of each canonical result.
+        ok_kinds = True
+        if ok_vals and cs:
+            for a, b in zip(cs[0], cd[0]):
+                ka = "f" if isinstance(a, float) else (
+                    "i" if isinstance(a, int) and not isinstance(a, bool)
+                    else "o")
+                kb = "f" if isinstance(b, float) else (
+                    "i" if isinstance(b, int) and not isinstance(b, bool)
+                    else "o")
+                if ka != kb:
+                    ok_kinds = False
+        if ok_cols and ok_count and ok_vals and not ok_kinds:
+            n_fail += 1
+            print(f"FAIL  {name}: value types differ (driver hash would "
+                  f"mismatch): spark={cs[0]} duck={cd[0]}")
+            continue
         if ok_cols and ok_count and ok_vals:
             print(f"OK    {name}: {len(srows)} rows")
         else:
