@@ -500,6 +500,32 @@ def q_repetition_scores(spark, sf_dir):
                     F.round("dup_gram_ratio", 6).alias("dup_gram_ratio"))
 
 
+def q_canonical_docs(spark, sf_dir):
+    """End-to-end dedup composition: near-dup pairs -> connected
+    components -> keep the highest-quality member per cluster
+    (tie-break lowest doc_id, encoded as struct-max so the argmax is
+    one hash aggregate, not a window shuffle)."""
+    from outliertree_spark.operators.components import connected_components
+    from outliertree_spark.operators.dedup import (minhash_lsh_candidates,
+                                                   ngram_jaccard)
+    from outliertree_spark.operators.text import quality_features
+    d = _docs(spark, sf_dir)
+    pairs = (ngram_jaccard(minhash_lsh_candidates(d), d)
+             .filter(F.col("jaccard") >= 0.7))
+    cc = (connected_components(pairs)
+          .withColumnRenamed("id", "doc_id"))
+    q = quality_features(d).select(
+        "doc_id", F.round("quality_score", 6).alias("qs"))
+    j = cc.join(F.broadcast(q), "doc_id")
+    best = F.max(F.struct(F.col("qs"),
+                          (-F.col("doc_id")).alias("neg_id"))).alias("b")
+    return (j.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("n_members"), best)
+             .select("component", "n_members",
+                     (-F.col("b.neg_id")).alias("keep_id"),
+                     F.col("b.qs").alias("keep_quality")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -535,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "canonical_docs": q_canonical_docs,
         "stratified_sample": q_stratified_sample,
         "vocab_top_terms": q_vocab_top_terms,
         "repetition_scores": q_repetition_scores,
@@ -976,6 +1003,45 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
             SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
             FROM reach GROUP BY id
+        """,
+        "canonical_docs": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(id, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id),
+            cc AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+                   FROM reach GROUP BY id),
+            q AS (
+                SELECT doc_id,
+                       round(least(n_tokens / 100.0, 1.0) * 0.4
+                             + (1.0 - least(CASE WHEN n_chars > 0
+                                                 THEN punct / n_chars
+                                                 ELSE 0.0 END * 5.0,
+                                            1.0)) * 0.3
+                             + least(CASE WHEN n_tokens > 0
+                                          THEN stop / n_tokens
+                                          ELSE 0.0 END * 5.0, 1.0) * 0.3,
+                             6) AS qs
+                FROM (SELECT doc_id,
+                             CAST(length(text) AS DOUBLE) AS n_chars,
+                             CAST({n_tokens} AS DOUBLE) AS n_tokens,
+                             CAST(length(text) - length(regexp_replace(text,
+                                  '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                             CAST({stop_sum} AS DOUBLE) AS stop
+                      FROM documents) t),
+            r AS (SELECT cc.doc_id, cc.component, q.qs,
+                         row_number() OVER (PARTITION BY component
+                                            ORDER BY qs DESC, cc.doc_id ASC)
+                           AS rn,
+                         count(*) OVER (PARTITION BY component) AS nm
+                  FROM cc JOIN q USING (doc_id))
+            SELECT component, CAST(nm AS BIGINT) AS n_members,
+                   doc_id AS keep_id, qs AS keep_quality
+            FROM r WHERE rn = 1
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

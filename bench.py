@@ -130,16 +130,26 @@ def materialize_scaled_docs(spark, sf_dir, target_rows) -> tuple[str, int]:
     from pyspark.sql import functions as F
     from outliertree_spark.sources.docs import load_documents, scale_up, to_north_shape
 
+    # FIXED file count, independent of the writing session's parallelism.
+    # Parquet scan concurrency is row-group-bound: Spark makes 16MB splits
+    # but only the split containing a row-group START does any work, so a
+    # 16-file/16-row-group table caps every session at 16 effective tasks
+    # and local[32] can never beat local[16] (measured: 4.43s vs 4.50s,
+    # identical busy core-seconds).  128 files = 4+ task waves at 32
+    # cores.  The 100TB lesson is the same one: size files/row groups so
+    # the scan yields several waves of tasks per executor core.
+    n_files = int(os.environ.get("BENCH_INPUT_FILES", "128"))
     path = os.path.join(tempfile.gettempdir(),
-                        f"bench_docs_{_sf_number(sf_dir)}_{target_rows}.parquet")
+                        f"bench_docs_{_sf_number(sf_dir)}_{target_rows}"
+                        f"_{n_files}f.parquet")
     if not os.path.exists(path):
         docs = load_documents(spark, sf_dir)
         n = docs.count()
         factor = max(1, target_rows // max(n, 1))
-        par = spark.sparkContext.defaultParallelism
-        scaled = scale_up(docs.repartition(4 * par), factor)
+        scaled = scale_up(docs.repartition(n_files), factor)
         base = to_north_shape(scaled, plant=True)
         (base.select("doc_id", "text", "lang", "source", "warc_ts")
+             .repartition(n_files)
              .write.mode("overwrite").parquet(path))
     return path
 
@@ -197,13 +207,72 @@ def run_validate_throughput(spark, sf_dir, eng, warmup: bool = True,
     return n_docs, n_viols, best, best_busy
 
 
+def materialize_pruned_docs(spark, target_rows) -> str:
+    """A wider documents table that STORES text_len next to text — the
+    layout a real 100TB pipeline uses so validation never re-decodes
+    the raw bytes it does not need.  The validate scan then prunes the
+    text column entirely (ReadSchema without `text`): per-doc CPU halves
+    and scanned bytes drop ~10x vs deriving text_len from text."""
+    import tempfile
+    from pyspark.sql import functions as F
+    base_path = materialize_scaled_docs(spark, SF_DIR, TARGET_DOCS)
+    factor = max(1, target_rows // TARGET_DOCS)
+    path = os.path.join(tempfile.gettempdir(),
+                        f"bench_docs_pruned_{target_rows}.parquet")
+    if not os.path.exists(path):
+        raw = spark.read.parquet(base_path)
+        w = raw.withColumn("text_len", F.length("text").cast("double"))
+        if factor > 1:
+            w = (w.withColumn("_r", F.explode(
+                     F.sequence(F.lit(0), F.lit(factor - 1))))
+                  .withColumn("doc_id",
+                              F.col("doc_id") * factor + F.col("_r"))
+                  .drop("_r"))
+        (w.select("doc_id", "text", "text_len", "lang", "source", "warc_ts")
+          .repartition(128).write.mode("overwrite").parquet(path))
+    return path
+
+
+def run_pruned_ladder(eng, pruned_docs: int) -> dict:
+    """Column-pruned validate ladder at LOW_PAR and CPUS: scan only
+    (doc_id, text_len, lang, source, warc_ts) from the stored-text_len
+    table.  This is the at-scale scan shape; reported next to the
+    text-decoding ladder so the bandwidth-vs-plan split is explicit."""
+    s = make_session(LOW_PAR)
+    path = materialize_pruned_docs(s, pruned_docs)
+    s.stop()
+    out = {}
+    for par in (LOW_PAR, CPUS):
+        spark = make_session(par, aqe=False)
+        feat = (spark.read.parquet(path)
+                .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+        v = eng.predict(feat, id_cols=["doc_id"])
+        v.count()
+        v.count()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            v.count()
+            best = min(best, time.time() - t0)
+        out[f"local[{par}]"] = round(pruned_docs / best, 1)
+        print(f"pruned ladder local[{par}]: {best:.2f}s", file=sys.stderr)
+        spark.stop()
+    lo, hi = out[f"local[{LOW_PAR}]"], out[f"local[{CPUS}]"]
+    return {"pruned_docs": pruned_docs,
+            "pruned_throughput_docs_per_sec": out,
+            "pruned_scaling_efficiency":
+                round((hi / lo) / (CPUS / LOW_PAR), 3)}
+
+
 def run_headline_queries(spark, sf_dir) -> dict[str, float]:
     import __spark_entry__ as entrymod
     names = ["pricing_summary", "duplicate_keys", "referential_orphans",
              "drift_psi_lang", "bounds_events", "token_counts",
              "quality_scores", "lang_id", "exact_dedup", "topk_cosine",
              "minhash_dups", "simhash_dups", "supplier_agg_rollup",
-             "top_customers_window", "outlier_validate"]
+             "top_customers_window", "outlier_validate",
+             "dedup_clusters", "stratified_sample", "vocab_top_terms",
+             "repetition_scores"]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -258,6 +327,11 @@ def main() -> None:
     bw = membw_probe([LOW_PAR, CPUS])
     bw_eff = (bw[CPUS] / bw[LOW_PAR]) / (CPUS / LOW_PAR)
 
+    from outliertree_spark import SparkOutlierTree as _SOT
+    pruned = run_pruned_ladder(
+        _SOT.load(model_path),
+        int(os.environ.get("BENCH_PRUNED_DOCS", "40000000")))
+
     eff = (thru_hi / thru_lo) / (CPUS / LOW_PAR) if thru_lo > 0 else 0.0
     # the north rule gates N->4N >= 0.8: headline the WORST measured
     # N->4N pair, never the favorable one
@@ -292,6 +366,8 @@ def main() -> None:
             f"local[{p}]": round(busy[p], 1) for p in levels},
         "parallelism": {"low": LOW_PAR, "high": CPUS},
         "violations_agree_across_parallelism": n_viols == n_viols2,
+        # at-scale scan shape: text_len stored, text column pruned
+        **pruned,
     }
     print(json.dumps(result))
 

@@ -100,3 +100,30 @@ def run_stream_to_memory(sdf: DataFrame, query_name: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_exact_dedup(stream_df: DataFrame, ts_col: str,
+                       text_col: str = "text",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: first-seen wins within the watermark
+    horizon.  ``dropDuplicatesWithinWatermark`` keys the state store on
+    the content hash only, and the watermark bounds state size — the
+    property that keeps this viable on an unbounded crawl stream (an
+    unwatermarked dropDuplicates would grow state forever).  Documents
+    whose duplicate arrives later than the watermark slack are emitted
+    again: at-least-once dedup, the standard trade at scale."""
+    h = F.md5(F.col(text_col)).alias("_text_hash")
+    return (stream_df.select("*", h)
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_text_hash"])
+            .drop("_text_hash"))
+
+
+def stream_quality_gate(stream_df: DataFrame, text_col: str = "text",
+                        min_score: float = 0.3) -> DataFrame:
+    """Stateless streaming quality filter: the batch quality features
+    are pure codegen column expressions, so the same plan runs on a
+    stream unchanged — no state store, no Python workers."""
+    from ..operators.text import quality_features
+    scored = quality_features(stream_df, text_col)
+    return scored.filter(F.col("quality_score") >= min_score)

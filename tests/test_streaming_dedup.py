@@ -1,0 +1,48 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark) + quality gate."""
+
+import datetime as dt
+
+import pandas as pd
+
+from outliertree_spark.streaming.validate import (run_stream_to_memory,
+                                                  stream_exact_dedup,
+                                                  stream_quality_gate)
+
+
+def test_stream_exact_dedup_first_seen_wins(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "ts": [t0 + dt.timedelta(minutes=m) for m in range(5)],
+        "text": ["alpha", "beta", "alpha", "gamma", "beta"],
+    })
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, text string")
+              .parquet(src))
+    out = stream_exact_dedup(stream, "ts", watermark="10 minutes")
+    run_stream_to_memory(out, "dedup_stream")
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    # one survivor per distinct text; duplicates within the watermark
+    # horizon suppressed; helper hash column dropped
+    assert sorted(got["text"]) == ["alpha", "beta", "gamma"]
+    assert set(got.columns) == {"doc_id", "ts", "text"}
+    assert sorted(got["doc_id"]) == [1, 2, 4]  # first-seen survivors
+
+
+def test_stream_quality_gate_stateless(spark, tmp_path):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["the cat and the dog went to the market and it is fine "
+                 * 4,
+                 "!!!! ???? ,,,,"],
+    })
+    src = str(tmp_path / "quality_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = stream_quality_gate(stream, min_score=0.3)
+    run_stream_to_memory(out, "quality_stream")
+    got = spark.sql("SELECT doc_id FROM quality_stream").toPandas()
+    assert list(got["doc_id"]) == [1]  # punctuation soup filtered

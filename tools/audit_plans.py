@@ -121,6 +121,38 @@ def main() -> None:
         plan_of(dedup.embedding_near_dups(emb, min_cosine=0.8,
                                           n_tables=8, n_planes=8))))
 
+    from outliertree_spark.operators import sampling, text
+    sections.append((
+        "Stratified hash sampling",
+        "One scan, one codegen'd CASE-WHEN predicate (hash bucket vs "
+        "per-stratum threshold): no shuffle, no RNG state, rerun- and "
+        "partitioning-stable row selection.",
+        plan_of(sampling.stratified_sample(docs, "lang", {"en": 0.1},
+                                           "doc_id", default_rate=1.0))))
+
+    sections.append((
+        "Vocabulary top-terms",
+        "Explode-within-partition -> single hash aggregate with map-side "
+        "partials (exchange carries vocabulary-sized rows) -> "
+        "TakeOrderedAndProject (per-partition heaps, no global sort).",
+        plan_of(text.vocab_top_terms(docs, n=50))))
+
+    sections.append((
+        "Repetition scores",
+        "Entirely row-local array math in one projection: no exchange "
+        "anywhere; scales with the scan.",
+        plan_of(text.repetition_scores(docs))))
+
+    from outliertree_spark.operators.components import connected_components
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "id_a long, id_b long")
+    sections.append((
+        "Connected components (one converged run)",
+        "Per round: edges JOIN labels (both keyed on vertex id) + min "
+        "aggregate; lineage cut by localCheckpoint per round so the "
+        "plan below stays this size at any iteration count.",
+        plan_of(connected_components(pairs))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
