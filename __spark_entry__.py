@@ -190,6 +190,59 @@ def q_json_props(spark, sf_dir):
                   .alias("n_missing")))
 
 
+def q_extract_text(spark, sf_dir):
+    """HTML -> text extraction + the north-rule byte-identity invariant.
+
+    Builds the Common-Crawl-shaped page (sources/docs.py html column:
+    head noise + entity-escaped body), re-extracts with the pure-Catalyst
+    operators/webtext.py::html_to_text pipeline, and emits per doc the
+    md5 of the extracted bytes plus whether it matches the stored text
+    byte-for-byte.  The DuckDB oracle reproduces the whole build+extract
+    chain, so the hash compare certifies the extractor's bytes, not just
+    a row count."""
+    from outliertree_spark.operators.webtext import html_to_text
+    from outliertree_spark.sources.docs import to_north_shape
+    pages = to_north_shape(_docs(spark, sf_dir))
+    ex = html_to_text(F.col("html"))
+    return (pages.select(
+                "doc_id",
+                F.md5(ex).alias("extracted_md5"),
+                F.length(ex).cast("long").alias("n_chars_extracted"),
+                ex.eqNullSafe(F.col("text")).alias("byte_identical"))
+            .orderBy("doc_id"))
+
+
+def q_canonical_urls(spark, sf_dir):
+    """URL canonicalization over deterministically messy variants.
+
+    Derives a messy URL per doc (mixed case, default/explicit ports,
+    missing paths, tracking params, fragments) purely from doc_id so the
+    DuckDB oracle can rebuild the identical input, then canonicalizes via
+    operators/webtext.py::canonicalize_url (fragment strip, case fold,
+    default-port strip, '/' path, tracking-param drop + param sort)."""
+    from outliertree_spark.operators.webtext import canonicalize_url, url_host
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP"), F.when(i % 3 == 2, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://Host"), (i % 53).cast("string"), F.lit(".Example.COM"),
+        F.when(i % 3 == 0, F.lit(":80"))
+         .when(i % 3 == 1, F.lit(":8080"))
+         .otherwise(F.lit(":443")),
+        F.when(i % 5 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("/p/"), i.cast("string"))),
+        F.when(i % 4 == 0, F.lit("?utm_source=x&b=2&a=1"))
+         .when(i % 4 == 1, F.lit("?b=2&a=1"))
+         .when(i % 4 == 2, F.lit("?utm_campaign=z"))
+         .otherwise(F.lit("")),
+        F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    return (d.select(
+                "doc_id",
+                canonicalize_url(messy).alias("canonical_url"),
+                url_host(messy).alias("host"))
+            .orderBy("doc_id"))
+
+
 def q_token_counts(spark, sf_dir):
     from outliertree_spark.operators.text import bpe_ish_token_count, token_count
     d = _docs(spark, sf_dir)
@@ -540,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "asof_last_click": q_asof_last_click,
         "events_within_minute": q_events_within_minute,
+        "extract_text": q_extract_text,
+        "canonical_urls": q_canonical_urls,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -782,6 +837,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN props->>'$.k' IS NULL
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
             FROM events GROUP BY event_type
+        """,
+        # must mirror sources/docs.py html construction and
+        # operators/webtext.py html_to_text byte-for-byte
+        "extract_text": r"""
+            WITH pages AS (
+              SELECT doc_id, text,
+                     '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                     || '</title><script type="text/javascript">var a = 1 < 2;</script>'
+                     || '<style>body{margin:0}</style></head>'
+                     || '<body><!-- warc-extract -->'
+                     || replace(replace(replace(text,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                     || '</body></html>' AS html
+              FROM documents),
+            ex AS (
+              SELECT doc_id, text,
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(html,
+                                 '(?is)<head\b[^>]*>.*?</head>', '', 'g'),
+                               '(?is)<script\b[^>]*>.*?</script>', '', 'g'),
+                             '(?is)<style\b[^>]*>.*?</style>', '', 'g'),
+                           '(?s)<!--.*?-->', '', 'g'),
+                         '(?s)<[^>]*>', '', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')
+                       AS extracted
+              FROM pages)
+            SELECT doc_id, md5(extracted) AS extracted_md5,
+                   CAST(length(extracted) AS BIGINT) AS n_chars_extracted,
+                   extracted = text AS byte_identical
+            FROM ex ORDER BY doc_id
+        """,
+        # mirrors q_canonical_urls: messy-URL build + the exact
+        # operators/webtext.py::canonicalize_url chain (no backrefs)
+        "canonical_urls": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     'HTTP' || CASE WHEN doc_id % 3 = 2 THEN 'S' ELSE '' END
+                     || '://Host' || CAST(doc_id % 53 AS VARCHAR)
+                     || '.Example.COM'
+                     || CASE doc_id % 3 WHEN 0 THEN ':80'
+                             WHEN 1 THEN ':8080' ELSE ':443' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ''
+                             ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+                     || CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                             WHEN 1 THEN '?b=2&a=1'
+                             WHEN 2 THEN '?utm_campaign=z' ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
+                       AS url
+              FROM documents),
+            s AS (SELECT doc_id, url,
+                         regexp_replace(url, '#.*$', '', 'g') AS c FROM m),
+            h AS (SELECT doc_id, url, c,
+                         regexp_extract(c,
+                           '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1) AS head,
+                         lower(regexp_extract(c,
+                           '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+                         lower(regexp_extract(c,
+                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)) AS hp
+                  FROM s),
+            n AS (SELECT doc_id, url, c, head, scheme,
+                         CASE WHEN scheme = 'https' THEN
+                                regexp_replace(
+                                  CASE WHEN scheme = 'http'
+                                       THEN regexp_replace(hp, ':80$', '')
+                                       ELSE hp END, ':443$', '')
+                              WHEN scheme = 'http'
+                                THEN regexp_replace(hp, ':80$', '')
+                              ELSE hp END AS hp2,
+                         substring(c, length(head) + 1) AS rest
+                  FROM h),
+            p AS (SELECT doc_id, url, scheme, hp2,
+                         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
+                              THEN '/'
+                              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+                         coalesce(array_to_string(list_sort(list_filter(
+                             string_split(
+                               regexp_extract(rest, '\?(.*)$', 1), '&'),
+                             q -> q <> '' AND NOT regexp_matches(q,
+                               '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '')
+                           AS qs
+                  FROM n)
+            SELECT doc_id,
+                   scheme || '://' || hp2 || path
+                   || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+                     AS canonical_url,
+                   lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1)) AS host
+            FROM p ORDER BY doc_id
         """,
         "token_counts": f"""
             SELECT doc_id,

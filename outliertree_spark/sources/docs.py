@@ -60,8 +60,17 @@ def to_north_shape(docs: DataFrame, plant: bool = False,
         text = F.when((F.col("doc_id") % huge_every == 0) & (F.col("doc_id") > 0),
                       F.concat_ws(" ", F.array_repeat(F.col("text"), 100))
                       ).otherwise(text)
-    html = F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")) \
-        .cast("binary")
+    # realistic page: head noise (script/style/comment) the extractor must
+    # drop, body text entity-escaped so operators/webtext.py::html_to_text
+    # recovers `text` BYTE-IDENTICALLY (the north-rule per-row invariant)
+    from ..operators.webtext import escape_html_text
+    html = F.concat(
+        F.lit('<html><head><title>doc '), F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var a = 1 < 2;</script>'
+              '<style>body{margin:0}</style></head>'
+              '<body><!-- warc-extract -->'),
+        escape_html_text(text),
+        F.lit("</body></html>")).cast("binary")
     return d.select(
         "doc_id",
         url.alias("url"),

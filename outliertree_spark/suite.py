@@ -90,6 +90,23 @@ class ValidationSuite:
         self._checks.append(_Check(nm, "group_bounds", fn))
         return self
 
+    def add_extraction_parity(self, html_col: str = "html",
+                              text_col: str = "text",
+                              name: str | None = None):
+        """North-rule per-row invariant: re-extracting text from the raw
+        page must reproduce the stored text byte-identically."""
+        from .operators.webtext import html_to_text
+        nm = name or f"extract_{text_col}"
+
+        def fn(df: DataFrame) -> DataFrame:
+            ex = html_to_text(F.col(html_col))
+            return (df.filter(~ex.eqNullSafe(F.col(text_col)))
+                      .withColumn("_check_value",
+                                  F.length(ex).cast("string")))
+
+        self._checks.append(_Check(nm, "extraction_parity", fn))
+        return self
+
     def add_drift_baseline(self, baseline: DataFrame, col: str,
                            max_psi: float = 0.2,
                            numeric_bucket_width: float | None = None,
