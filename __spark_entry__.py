@@ -243,6 +243,79 @@ def q_canonical_urls(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_decontamination(spark, sf_dir):
+    """Test-set decontamination: docs sharing 5-grams with the benchmark
+    slice (doc_id % 97 == 0).  Broadcast the benchmark gram set; corpus
+    never shuffles (operators/decontamination.py).  ``raw`` gram flavor —
+    join on the gram string — so the DuckDB twin is exact with no
+    per-gram hash cost (measured 5.0s vs 5.7s md5_60 / 8.2s xxhash64 at
+    sf0.1 under the single-pass plan; all flavors equivalence-tested)."""
+    from outliertree_spark.operators.decontamination import contamination_scores
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return (contamination_scores(train, bench, n=5, token_hash="raw")
+            .orderBy("doc_id"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over texts with deterministically planted emails / IPs /
+    phone numbers; output is the md5 of the redacted bytes plus per-kind
+    counts, so the oracle verifies the exact redaction output."""
+    from outliertree_spark.operators.scrub import scrub_documents
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    suffix = (F.when(i % 11 == 0,
+                     F.concat(F.lit(" contact user"), i.cast("string"),
+                              F.lit("@example.com now")))
+               .when(i % 13 == 0,
+                     F.concat(F.lit(" server 10.0."),
+                              (i % 256).cast("string"), F.lit(".7 port")))
+               .when(i % 17 == 0,
+                     F.concat(F.lit(" call 555-867-"),
+                              F.lpad((i % 10000).cast("string"), 4, "0")))
+               .otherwise(F.lit("")))
+    planted = d.withColumn("text", F.concat(F.col("text"), suffix))
+    s = scrub_documents(planted)
+    return (s.select("doc_id", F.md5("scrubbed").alias("scrubbed_md5"),
+                     "n_email", "n_ipv4", "n_phone", "has_pii")
+            .orderBy("doc_id"))
+
+
+def _lined_docs(d):
+    """Deterministic line structure for the line-level operators: the
+    fixture texts are single-line word soup, so re-chunk every 8 tokens
+    into one '\\n'-joined line (DuckDB reproduces the chunking)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    chunks = F.transform(F.sequence(F.lit(0), nchunks - 1),
+                         lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)))
+    return d.withColumn("text", F.array_join(chunks, "\n"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Cross-doc repeated lines (RefinedWeb-style boilerplate detection):
+    line -> distinct-doc count, threshold 3 docs / 10 chars.  Corpus
+    never shuffles; the exchange carries (line, partial count)."""
+    from outliertree_spark.operators.boilerplate import frequent_lines
+    d = _lined_docs(_docs(spark, sf_dir))
+    return frequent_lines(d, min_docs=3).orderBy("line")
+
+
+def q_boilerplate_removal(spark, sf_dir):
+    """Row-local boilerplate removal against the driver-collected top-100
+    frequent-line set (literal array, no join/shuffle in the cleaning
+    map).  md5 of the cleaned bytes so the oracle checks exact output."""
+    from outliertree_spark.operators.boilerplate import (
+        collect_boilerplate, remove_boilerplate)
+    d = _lined_docs(_docs(spark, sf_dir))
+    boiler = collect_boilerplate(d, min_docs=3, max_lines=100)
+    out = remove_boilerplate(d, boiler)
+    return (out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                       "n_lines_removed")
+            .orderBy("doc_id"))
+
+
 def q_token_counts(spark, sf_dir):
     from outliertree_spark.operators.text import bpe_ish_token_count, token_count
     d = _docs(spark, sf_dir)
@@ -595,6 +668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_within_minute": q_events_within_minute,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
+        "decontamination": q_decontamination,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_lines": q_boilerplate_lines,
+        "boilerplate_removal": q_boilerplate_removal,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -930,6 +1007,117 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_extract(url,
                      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1)) AS host
             FROM p ORDER BY doc_id
+        """,
+        # mirrors q_decontamination: raw 5-gram strings, benchmark =
+        # doc_id % 97 == 0 slice, per-train-doc contaminated-gram counts
+        "decontamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, greatest(len(t) - 4, 0)),
+                  i -> array_to_string(t[i:i+4], ' ')))
+                  AS grams
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0),
+            hits AS (
+              SELECT tr.doc_id, count(*) AS n_contaminated
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tr
+              JOIN bench USING (gram) GROUP BY tr.doc_id)
+            SELECT t.doc_id, CAST(len(t.grams) AS BIGINT) AS n_grams,
+                   CAST(coalesce(h.n_contaminated, 0) AS BIGINT)
+                     AS n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 AS contaminated
+            FROM train t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+        """,
+        # mirrors q_boilerplate_lines: 8-token chunk lines, distinct per
+        # doc, >=10 chars, appearing in >=3 docs
+        "boilerplate_lines": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            lines AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                  i -> trim(array_to_string(
+                         t[(i-1)*8+1 : (i-1)*8+8], ' '))))) AS line
+              FROM toks)
+            SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+            FROM lines WHERE length(line) >= 10
+            GROUP BY line HAVING count(*) >= 3
+            ORDER BY line
+        """,
+        # mirrors q_boilerplate_removal: top-100 boiler set (n_docs desc,
+        # line asc), order-preserving line filter, md5 of cleaned bytes
+        "boilerplate_removal": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, list_transform(
+                  generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                  i -> trim(array_to_string(
+                         t[(i-1)*8+1 : (i-1)*8+8], ' '))) AS cs
+              FROM toks),
+            lines AS (
+              SELECT doc_id, unnest(list_distinct(cs)) AS line FROM chunks),
+            f AS (
+              SELECT line, count(*) AS n_docs
+              FROM lines WHERE length(line) >= 10
+              GROUP BY line HAVING count(*) >= 3),
+            b AS (
+              SELECT coalesce(list(line ORDER BY n_docs DESC, line), [])
+                       AS bl
+              FROM (SELECT * FROM f ORDER BY n_docs DESC, line LIMIT 100)),
+            c AS (
+              SELECT doc_id, cs,
+                     list_filter(cs,
+                       x -> NOT list_contains(bl, trim(x))) AS kept
+              FROM chunks, b)
+            SELECT doc_id,
+                   md5(array_to_string(kept, chr(10))) AS clean_md5,
+                   CAST(len(cs) - len(kept) AS BIGINT) AS n_lines_removed
+            FROM c ORDER BY doc_id
+        """,
+        # mirrors q_pii_scrub (same planted suffixes + RE2 patterns)
+        "pii_scrub": r"""
+            WITH p AS (
+              SELECT doc_id, text ||
+                CASE WHEN doc_id % 11 = 0 THEN ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     WHEN doc_id % 13 = 0 THEN ' server 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR) || '.7 port'
+                     WHEN doc_id % 17 = 0 THEN ' call 555-867-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+                       AS scrubbed,
+                     CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     CAST(len(regexp_extract_all(text,
+                       '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                     CAST(len(regexp_extract_all(text,
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+              FROM p)
+            SELECT doc_id, md5(scrubbed) AS scrubbed_md5,
+                   n_email, n_ipv4, n_phone,
+                   n_email + n_ipv4 + n_phone > 0 AS has_pii
+            FROM s ORDER BY doc_id
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -67,11 +67,25 @@ def make_session(par: int, aqe: bool = True):
                                  # 103MB splits (heavy per-task decode
                                  # footprint, GC-noisy) while local[32]
                                  # got 26MB — different jobs, not a
-                                 # scaling comparison
-                                 "spark.sql.files.maxPartitionBytes": "16m",
+                                 # scaling comparison.  32m bin-packs ~3
+                                 # of the 11MB files per task (~48 tasks):
+                                 # measured sweep (round 2) vs 16m/8m —
+                                 # 16m 3.47s, 8m 3.57s, 32m 2.58s at
+                                 # local[32]; per-task Arrow/python setup
+                                 # dominates below ~30MB of input per task
+                                 "spark.sql.files.maxPartitionBytes": "32m",
                                  "spark.sql.files.openCostInBytes": "1m",
+                                 # bigger Arrow batches = fewer JVM<->py
+                                 # transitions (measured 3.47->3.12s at
+                                 # local[32] on its own); ParallelGC beats
+                                 # G1 on this short throughput-bound job
+                                 # (3.47->2.96s); combined with 32m splits:
+                                 # 2.55s / 7.8M docs/s at local[32]
+                                 "spark.sql.execution.arrow.maxRecordsPerBatch":
+                                     "65536",
                                  "spark.driver.extraJavaOptions":
-                                     f"-Xms{mem} -XX:+AlwaysPreTouch"})
+                                     f"-Xms{mem} -XX:+AlwaysPreTouch "
+                                     f"-XX:+UseParallelGC"})
 
 
 def membw_probe(procs: list[int], mb: int = 64, iters: int = 20) -> dict:
@@ -241,22 +255,29 @@ def run_pruned_ladder(eng, pruned_docs: int) -> dict:
     s = make_session(LOW_PAR)
     path = materialize_pruned_docs(s, pruned_docs)
     s.stop()
+    # interleave the two levels over 2 session rounds and keep per-level
+    # minima, same as the main ladder: host-noise waves on this VM can
+    # otherwise hit one level only and fake any efficiency from 0.5 to
+    # 1.6 (both observed)
+    best = {LOW_PAR: float("inf"), CPUS: float("inf")}
+    for _ in range(2):
+        for par in (LOW_PAR, CPUS):
+            spark = make_session(par, aqe=False)
+            feat = (spark.read.parquet(path)
+                    .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+            v = eng.predict(feat, id_cols=["doc_id"])
+            v.count()
+            v.count()
+            for _r in range(2):
+                t0 = time.time()
+                v.count()
+                best[par] = min(best[par], time.time() - t0)
+            spark.stop()
     out = {}
     for par in (LOW_PAR, CPUS):
-        spark = make_session(par, aqe=False)
-        feat = (spark.read.parquet(path)
-                .select("doc_id", "text_len", "lang", "source", "warc_ts"))
-        v = eng.predict(feat, id_cols=["doc_id"])
-        v.count()
-        v.count()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            v.count()
-            best = min(best, time.time() - t0)
-        out[f"local[{par}]"] = round(pruned_docs / best, 1)
-        print(f"pruned ladder local[{par}]: {best:.2f}s", file=sys.stderr)
-        spark.stop()
+        out[f"local[{par}]"] = round(pruned_docs / best[par], 1)
+        print(f"pruned ladder local[{par}]: {best[par]:.2f}s",
+              file=sys.stderr)
     lo, hi = out[f"local[{LOW_PAR}]"], out[f"local[{CPUS}]"]
     return {"pruned_docs": pruned_docs,
             "pruned_throughput_docs_per_sec": out,
@@ -272,7 +293,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "minhash_dups", "simhash_dups", "supplier_agg_rollup",
              "top_customers_window", "outlier_validate",
              "dedup_clusters", "stratified_sample", "vocab_top_terms",
-             "repetition_scores"]
+             "repetition_scores", "extract_text", "canonical_urls",
+             "decontamination", "pii_scrub"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -1,0 +1,78 @@
+"""Boilerplate line detection + removal (RefinedWeb/Gopher-style).
+
+Web corpora repeat navigation/footer/cookie-banner lines across millions
+of pages; dedup at document granularity never sees them.  The operator
+pair here:
+
+  * ``frequent_lines`` — line -> number of distinct docs containing it.
+    The only exchange carries (line, partial-count) pairs with map-side
+    partial aggregation; the corpus itself never shuffles.
+  * ``remove_boilerplate`` — row-local removal against a driver-collected
+    boilerplate set embedded as a literal array (the set is tiny: top-K
+    frequent lines), so the cleaning pass is a pure map with NO shuffle
+    and NO join.  At 10^12 docs this two-job shape (tiny agg output ->
+    broadcast-by-literal map) beats an explode + anti-join + re-assemble
+    plan, which would shuffle every line of the corpus on doc_id.
+
+Lines are ``\\n``-separated; both hash flavors from the rest of the repo
+apply (xxhash64 for scale, md5_60 for the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def doc_lines(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", min_len: int = 10) -> DataFrame:
+    """(id, line): DISTINCT trimmed lines per doc, at least ``min_len``
+    chars (short lines are too generic to call boilerplate)."""
+    lines = F.array_distinct(
+        F.transform(F.split(F.col(text_col), r"\n"), F.trim))
+    return (df.select(F.col(id_col), F.explode(lines).alias("line"))
+              .filter(F.length("line") >= min_len))
+
+
+def frequent_lines(df: DataFrame, min_docs: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   min_len: int = 10) -> DataFrame:
+    """(line, n_docs) for lines appearing in >= ``min_docs`` distinct
+    docs.  Lines are distinct within a doc, so a plain count IS the
+    distinct-doc count — no count_distinct shuffle amplification."""
+    return (doc_lines(df, id_col, text_col, min_len)
+            .groupBy("line")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def collect_boilerplate(df: DataFrame, min_docs: int = 3,
+                        max_lines: int = 10000,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        min_len: int = 10) -> list[str]:
+    """Driver-side boilerplate set: top ``max_lines`` frequent lines by
+    doc count (ties broken by line for determinism).  This is the ONLY
+    collect in the pipeline and is bounded by ``max_lines``."""
+    rows = (frequent_lines(df, min_docs, id_col, text_col, min_len)
+            .orderBy(F.desc("n_docs"), "line")
+            .limit(max_lines)
+            .collect())
+    return [r.line for r in rows]
+
+
+def remove_boilerplate(df: DataFrame, boiler: list[str],
+                       text_col: str = "text",
+                       out_col: str = "clean_text") -> DataFrame:
+    """Row-local removal: filter the doc's lines against the boilerplate
+    set (literal array of xxhash64 values — O(set) per row, no shuffle,
+    no join), preserving the original line order, and report how many
+    lines were dropped."""
+    if not boiler:
+        return (df.withColumn(out_col, F.col(text_col))
+                  .withColumn("n_lines_removed", F.lit(0).cast("long")))
+    bset = F.array(*[F.xxhash64(F.lit(b)) for b in boiler])
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines,
+                    lambda ln: ~F.array_contains(bset, F.xxhash64(F.trim(ln))))
+    return (df.withColumn(out_col, F.array_join(kept, "\n"))
+              .withColumn("n_lines_removed",
+                          (F.size(lines) - F.size(kept)).cast("long")))

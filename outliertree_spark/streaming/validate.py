@@ -105,8 +105,10 @@ def run_stream_to_memory(sdf: DataFrame, query_name: str):
 def stream_exact_dedup(stream_df: DataFrame, ts_col: str,
                        text_col: str = "text",
                        watermark: str = "10 minutes") -> DataFrame:
-    """Streaming exact dedup: first-seen wins within the watermark
-    horizon.  ``dropDuplicatesWithinWatermark`` keys the state store on
+    """Streaming exact dedup: one survivor per content hash within the
+    watermark horizon (which duplicate survives inside a single
+    micro-batch is arbitrary — Spark does not order partitions).
+    ``dropDuplicatesWithinWatermark`` keys the state store on
     the content hash only, and the watermark bounds state size — the
     property that keeps this viable on an unbounded crawl stream (an
     unwatermarked dropDuplicates would grow state forever).  Documents

@@ -141,6 +141,24 @@ def test_canonical_duplicate_urls(spark):
     assert got == {"http://a.com/x": (3, 1)}
 
 
+def test_suite_extraction_parity_check(spark):
+    from outliertree_spark.config import ValidationConfig
+    from outliertree_spark.suite import ValidationSuite
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pages = to_north_shape(docs).withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("swapped out"))
+         .otherwise(F.col("text")))
+    suite = (ValidationSuite(ValidationConfig())
+             .add_extraction_parity())
+    suite.fit(pages.select("doc_id", "lang", "source"), id_cols=["doc_id"])
+    violations, verdicts = suite.run(pages, partition_col="source",
+                                     id_cols=["doc_id"])
+    ext = violations.filter(F.col("check") == "extract_text")
+    assert [r.doc_id for r in ext.select("doc_id").collect()] == [3]
+
+
 def test_extraction_stays_jvm_side(spark):
     """The extractor must not leave codegen: no Python/Arrow eval nodes
     and the scan under it prunes to the columns actually needed."""

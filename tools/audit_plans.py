@@ -143,6 +143,38 @@ def main() -> None:
         "anywhere; scales with the scan.",
         plan_of(text.repetition_scores(docs))))
 
+    from outliertree_spark.operators import webtext
+    sections.append((
+        "HTML -> text extraction (byte-identity invariant)",
+        "Pure regexp/replace chain inside whole-stage codegen — no Python "
+        "operator, scan pruned to (html, text); the invariant check is a "
+        "single partial-aggregable scan.",
+        plan_of(webtext.extraction_summary(north))))
+
+    sections.append((
+        "URL canonicalization + canonical-key dedup",
+        "Canonicalization is a row-local expression; the duplicate "
+        "aggregation hashes on the full canonical URL (near-unique key, "
+        "naturally balanced — host hot keys cannot form).",
+        plan_of(webtext.canonical_duplicate_urls(north))))
+
+    from outliertree_spark.operators import decontamination as deco
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train_docs = docs.filter(F.col("doc_id") % 97 != 0)
+    sections.append((
+        "Test-set decontamination",
+        "Row-local gram arrays -> explode pipelined into a BROADCAST hash "
+        "join against the benchmark gram set (corpus never shuffles); the "
+        "only exchange carries (doc_id, hit-count) pairs.",
+        plan_of(deco.contamination_scores(train_docs, bench_docs, n=5))))
+
+    from outliertree_spark.operators import scrub
+    sections.append((
+        "PII scrub",
+        "Straight map over the corpus: regex detect+redact entirely in "
+        "codegen, scan pruned to the text column.",
+        plan_of(scrub.scrub_documents(docs))))
+
     from outliertree_spark.operators.components import connected_components
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
                                   "id_a long, id_b long")
