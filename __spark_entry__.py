@@ -652,6 +652,25 @@ def q_canonical_docs(spark, sf_dir):
                      F.col("b.qs").alias("keep_quality")))
 
 
+def q_hot_domains(spark, sf_dir):
+    """Skew profile that sizes the salting remedy: per-domain corpus
+    share over a Zipf-ish host distribution (host index = cubed hash
+    fraction, mirroring sources/docs.py::to_north_shape but built from
+    pure modular arithmetic so DuckDB reproduces it exactly).  One
+    grouped pass + a window over the ~98-row grouped result; shares are
+    integer ppm so the oracle compares bit-for-bit (no float division).
+    Domains above 1% of the corpus are the ones salted_join scatters."""
+    from outliertree_spark.operators.skew import domain_profile
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host_ix = F.floor(
+        F.pow((i % 101).cast("double") / 101.0, F.lit(3.0)) * 97)
+    dom = F.concat(F.lit("host"), host_ix.cast("long").cast("string"),
+                   F.lit(".example.com"))
+    prof = domain_profile(d.select(dom.alias("domain")), "domain")
+    return prof.orderBy(F.desc("n_docs"), "domain")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -697,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_top_terms": q_vocab_top_terms,
         "repetition_scores": q_repetition_scores,
+        "hot_domains": q_hot_domains,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
         "ann_lsh": q_ann_lsh,
@@ -1415,5 +1435,21 @@ def oracle_sql() -> dict[str, str]:
                                regexp_split_to_array(lower(trim(text)),
                                                      '\s+') AS toks
                         FROM documents))
+        """,
+        "hot_domains": r"""
+            WITH d AS (
+              SELECT 'host' || CAST(CAST(floor(power((doc_id % 101)
+                         / 101.0, 3.0) * 97) AS BIGINT) AS VARCHAR)
+                     || '.example.com' AS domain
+              FROM documents
+            ), c AS (
+              SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+              FROM d GROUP BY domain
+            ), t AS (SELECT sum(n_docs) AS total FROM c)
+            SELECT domain, n_docs,
+                   CAST((n_docs * 1000000) // total AS BIGINT) AS ppm,
+                   (n_docs * 1000000 > 10000 * total) AS is_hot
+            FROM c, t
+            ORDER BY n_docs DESC, domain
         """,
     }

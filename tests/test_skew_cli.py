@@ -77,3 +77,16 @@ def test_cli_run_and_resume(spark, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     out2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert out2["status"] == "nothing-to-do" and out2["done"] == 4
+
+
+def test_domain_profile_ppm_and_hot_flag(spark):
+    from outliertree_spark.operators.skew import domain_profile
+    pdf = pd.DataFrame({"domain": ["a.com"] * 60 + ["b.com"] * 39
+                        + ["c.com"]})
+    prof = {r.domain: r for r in
+            domain_profile(spark.createDataFrame(pdf), "domain").collect()}
+    assert prof["a.com"].n_docs == 60 and prof["a.com"].ppm == 600000
+    assert prof["b.com"].ppm == 390000
+    assert prof["c.com"].ppm == 10000  # exactly at threshold: not hot
+    assert prof["a.com"].is_hot and prof["b.com"].is_hot
+    assert not prof["c.com"].is_hot
