@@ -185,6 +185,18 @@ def main() -> None:
         "plan below stays this size at any iteration count.",
         plan_of(connected_components(pairs))))
 
+    from outliertree_spark.operators.skew import domain_profile
+    doms = docs.select(
+        F.concat(F.lit("host"),
+                 (F.col("doc_id") % 97).cast("string")).alias("domain"))
+    sections.append((
+        "Hot-domain skew profile",
+        "Partial+final hash aggregate over the corpus (scan pruned to the "
+        "domain source column); the whole-partition window for corpus "
+        "share runs on the GROUPED result — one row per domain — never "
+        "the corpus.  Integer-ppm shares, so the oracle compares exactly.",
+        plan_of(domain_profile(doms, "domain"))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
