@@ -671,6 +671,28 @@ def q_hot_domains(spark, sf_dir):
     return prof.orderBy(F.desc("n_docs"), "domain")
 
 
+def q_orphan_hosts(spark, sf_dir):
+    """Webtext referential integrity (north rule: referential checks
+    across crawl partitions): every doc's domain must exist in the host
+    allowlist dimension (hosts 0..79).  Same cubed-hash-fraction domain
+    derivation as hot_domains; the allowlist is dimension-sized, so the
+    anti-join BROADCASTS it — the 10^12-row corpus never shuffles."""
+    from outliertree_spark.operators.checks import referential_orphans
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    host_ix = F.floor(
+        F.pow((i % 101).cast("double") / 101.0, F.lit(3.0)) * 97)
+    dom = F.concat(F.lit("host"), host_ix.cast("long").cast("string"),
+                   F.lit(".example.com"))
+    docs = d.select("doc_id", dom.alias("domain"))
+    allow = spark.range(80).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("domain"))
+    return (referential_orphans(docs, allow, "domain", "domain",
+                                broadcast_parent=True)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -717,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": q_vocab_top_terms,
         "repetition_scores": q_repetition_scores,
         "hot_domains": q_hot_domains,
+        "orphan_hosts": q_orphan_hosts,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
         "ann_lsh": q_ann_lsh,
@@ -1451,5 +1474,21 @@ def oracle_sql() -> dict[str, str]:
                    (n_docs * 1000000 > 10000 * total) AS is_hot
             FROM c, t
             ORDER BY n_docs DESC, domain
+        """,
+        "orphan_hosts": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     'host' || CAST(CAST(floor(power((doc_id % 101)
+                         / 101.0, 3.0) * 97) AS BIGINT) AS VARCHAR)
+                     || '.example.com' AS domain
+              FROM documents
+            ), allow AS (
+              SELECT 'host' || CAST(i AS VARCHAR) || '.example.com'
+                     AS domain
+              FROM range(80) t(i)
+            )
+            SELECT doc_id, domain FROM d
+            WHERE domain NOT IN (SELECT domain FROM allow)
+            ORDER BY doc_id
         """,
     }
