@@ -294,7 +294,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "top_customers_window", "outlier_validate",
              "dedup_clusters", "stratified_sample", "vocab_top_terms",
              "repetition_scores", "extract_text", "canonical_urls",
-             "decontamination", "pii_scrub"]
+             "decontamination", "pii_scrub", "hot_domains",
+             "orphan_hosts"]
     qs = entrymod.queries()
     out = {}
     for name in names:
