@@ -97,17 +97,34 @@ def q_orphan_orders(spark, sf_dir):
 
 
 def q_rare_categories(spark, sf_dir):
-    """C6 (cat_outlier.cpp:285-328) as a declarative plan on event_type."""
+    """C6 (cat_outlier.cpp:285-328) as a declarative plan on event_type.
+
+    All three reference gates (total >= 1000; no category between
+    max_out and 250; exactly one rare category) live IN the plan as
+    scalar aggregates broadcast back over the grouped counts — zero
+    driver-side actions during construction, so the query composes and
+    stays lazy at any input size."""
     ev = _events(spark, sf_dir)
-    n = ev.count()
-    max_out = 1 if n < 10000 else (2 if n < 100000 else 3)
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("_total"))
+    gated = (counts.crossJoin(F.broadcast(tot))
+             .withColumn("_max_out",
+                         F.when(F.col("_total") < 10000, F.lit(1))
+                          .when(F.col("_total") < 100000, F.lit(2))
+                          .otherwise(F.lit(3))))
     # rule applies only if no category sits between max_out and 250
-    blocked = counts.filter((F.col("n") > max_out) & (F.col("n") < 250)).count()
-    rare = counts.filter(F.col("n") <= max_out)
-    if n < 1000 or blocked > 0 or rare.count() != 1:
-        return rare.filter(F.lit(False)).select("event_type", "n")
-    return rare.select("event_type", "n")
+    gates = gated.agg(
+        F.max("_total").alias("_tot"),
+        F.sum(F.when((F.col("n") > F.col("_max_out"))
+                     & (F.col("n") < 250), 1).otherwise(0)).alias("_blocked"),
+        F.sum(F.when(F.col("n") <= F.col("_max_out"), 1)
+               .otherwise(0)).alias("_n_rare"))
+    return (gated.crossJoin(F.broadcast(gates))
+            .filter((F.col("n") <= F.col("_max_out"))
+                    & (F.col("_tot") >= 1000)
+                    & (F.col("_blocked") == 0)
+                    & (F.col("_n_rare") == 1))
+            .select("event_type", "n"))
 
 
 def q_drift_psi_lang(spark, sf_dir):
@@ -219,7 +236,10 @@ def q_canonical_urls(spark, sf_dir):
     missing paths, tracking params, fragments) purely from doc_id so the
     DuckDB oracle can rebuild the identical input, then canonicalizes via
     operators/webtext.py::canonicalize_url (fragment strip, case fold,
-    default-port strip, '/' path, tracking-param drop + param sort)."""
+    default-port strip, '/' path, tracking-param drop + param sort).
+    Every 7th-ish doc (doc_id % 7 == 3) gets a SCHEME-LESS string so the
+    pass-through branch (head == '' -> fragment-strip only) is
+    oracle-exercised, not just unit-tested."""
     from outliertree_spark.operators.webtext import canonicalize_url, url_host
     d = _docs(spark, sf_dir)
     i = F.col("doc_id")
@@ -236,6 +256,12 @@ def q_canonical_urls(spark, sf_dir):
          .when(i % 4 == 2, F.lit("?utm_campaign=z"))
          .otherwise(F.lit("")),
         F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    messy = F.when(
+        i % 7 == 3,
+        F.concat(F.lit("Host"), (i % 53).cast("string"),
+                 F.lit(".Example.COM/p/"), i.cast("string"),
+                 F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    ).otherwise(messy)
     return (d.select(
                 "doc_id",
                 canonicalize_url(messy).alias("canonical_url"),
@@ -656,16 +682,16 @@ def q_hot_domains(spark, sf_dir):
     """Skew profile that sizes the salting remedy: per-domain corpus
     share over a Zipf-ish host distribution (host index = cubed hash
     fraction, mirroring sources/docs.py::to_north_shape but built from
-    pure modular arithmetic so DuckDB reproduces it exactly).  One
-    grouped pass + a window over the ~98-row grouped result; shares are
-    integer ppm so the oracle compares bit-for-bit (no float division).
-    Domains above 1% of the corpus are the ones salted_join scatters."""
+    pure INTEGER modular arithmetic — k^3*97 div 101^3, no floating
+    pow, so DuckDB reproduces it bit-for-bit with zero ulp risk).  One
+    grouped pass + a broadcast scalar total (no unpartitioned window);
+    shares are integer ppm so the oracle compares exactly.  Domains
+    above 1% of the corpus are the ones salted_join scatters."""
     from outliertree_spark.operators.skew import domain_profile
     d = _docs(spark, sf_dir)
-    i = F.col("doc_id")
-    host_ix = F.floor(
-        F.pow((i % 101).cast("double") / 101.0, F.lit(3.0)) * 97)
-    dom = F.concat(F.lit("host"), host_ix.cast("long").cast("string"),
+    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
+                     " * 97) div 1030301")
+    dom = F.concat(F.lit("host"), host_ix.cast("string"),
                    F.lit(".example.com"))
     prof = domain_profile(d.select(dom.alias("domain")), "domain")
     return prof.orderBy(F.desc("n_docs"), "domain")
@@ -674,15 +700,14 @@ def q_hot_domains(spark, sf_dir):
 def q_orphan_hosts(spark, sf_dir):
     """Webtext referential integrity (north rule: referential checks
     across crawl partitions): every doc's domain must exist in the host
-    allowlist dimension (hosts 0..79).  Same cubed-hash-fraction domain
+    allowlist dimension (hosts 0..79).  Same integer cubed-hash domain
     derivation as hot_domains; the allowlist is dimension-sized, so the
     anti-join BROADCASTS it — the 10^12-row corpus never shuffles."""
     from outliertree_spark.operators.checks import referential_orphans
     d = _docs(spark, sf_dir)
-    i = F.col("doc_id")
-    host_ix = F.floor(
-        F.pow((i % 101).cast("double") / 101.0, F.lit(3.0)) * 97)
-    dom = F.concat(F.lit("host"), host_ix.cast("long").cast("string"),
+    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
+                     " * 97) div 1030301")
+    dom = F.concat(F.lit("host"), host_ix.cast("string"),
                    F.lit(".example.com"))
     docs = d.select("doc_id", dom.alias("domain"))
     allow = spark.range(80).select(
@@ -998,18 +1023,23 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": r"""
             WITH m AS (
               SELECT doc_id,
-                     'HTTP' || CASE WHEN doc_id % 3 = 2 THEN 'S' ELSE '' END
-                     || '://Host' || CAST(doc_id % 53 AS VARCHAR)
-                     || '.Example.COM'
-                     || CASE doc_id % 3 WHEN 0 THEN ':80'
-                             WHEN 1 THEN ':8080' ELSE ':443' END
-                     || CASE WHEN doc_id % 5 = 0 THEN ''
-                             ELSE '/p/' || CAST(doc_id AS VARCHAR) END
-                     || CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
-                             WHEN 1 THEN '?b=2&a=1'
-                             WHEN 2 THEN '?utm_campaign=z' ELSE '' END
-                     || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
-                       AS url
+                     CASE WHEN doc_id % 7 = 3 THEN
+                       'Host' || CAST(doc_id % 53 AS VARCHAR)
+                       || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
+                     ELSE
+                       'HTTP' || CASE WHEN doc_id % 3 = 2 THEN 'S' ELSE '' END
+                       || '://Host' || CAST(doc_id % 53 AS VARCHAR)
+                       || '.Example.COM'
+                       || CASE doc_id % 3 WHEN 0 THEN ':80'
+                               WHEN 1 THEN ':8080' ELSE ':443' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ''
+                               ELSE '/p/' || CAST(doc_id AS VARCHAR) END
+                       || CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                               WHEN 1 THEN '?b=2&a=1'
+                               WHEN 2 THEN '?utm_campaign=z' ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
+                     END AS url
               FROM documents),
             s AS (SELECT doc_id, url,
                          regexp_replace(url, '#.*$', '', 'g') AS c FROM m),
@@ -1032,7 +1062,7 @@ def oracle_sql() -> dict[str, str]:
                               ELSE hp END AS hp2,
                          substring(c, length(head) + 1) AS rest
                   FROM h),
-            p AS (SELECT doc_id, url, scheme, hp2,
+            p AS (SELECT doc_id, url, c, head, scheme, hp2,
                          CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
                               THEN '/'
                               ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
@@ -1044,9 +1074,11 @@ def oracle_sql() -> dict[str, str]:
                            AS qs
                   FROM n)
             SELECT doc_id,
-                   scheme || '://' || hp2 || path
-                   || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
-                     AS canonical_url,
+                   CASE WHEN head = '' THEN c
+                        ELSE scheme || '://' || hp2 || path
+                             || CASE WHEN qs = '' THEN ''
+                                     ELSE '?' || qs END
+                   END AS canonical_url,
                    lower(regexp_extract(url,
                      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1)) AS host
             FROM p ORDER BY doc_id
@@ -1461,8 +1493,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hot_domains": r"""
             WITH d AS (
-              SELECT 'host' || CAST(CAST(floor(power((doc_id % 101)
-                         / 101.0, 3.0) * 97) AS BIGINT) AS VARCHAR)
+              SELECT 'host' || CAST(((doc_id % 101) * (doc_id % 101)
+                         * (doc_id % 101) * 97) // 1030301 AS VARCHAR)
                      || '.example.com' AS domain
               FROM documents
             ), c AS (
@@ -1478,8 +1510,8 @@ def oracle_sql() -> dict[str, str]:
         "orphan_hosts": r"""
             WITH d AS (
               SELECT doc_id,
-                     'host' || CAST(CAST(floor(power((doc_id % 101)
-                         / 101.0, 3.0) * 97) AS BIGINT) AS VARCHAR)
+                     'host' || CAST(((doc_id % 101) * (doc_id % 101)
+                         * (doc_id % 101) * 97) // 1030301 AS VARCHAR)
                      || '.example.com' AS domain
               FROM documents
             ), allow AS (

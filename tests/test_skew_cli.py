@@ -79,6 +79,80 @@ def test_cli_run_and_resume(spark, tmp_path):
     assert out2["status"] == "nothing-to-do" and out2["done"] == 4
 
 
+def test_domain_profile_plan_has_no_single_partition(spark):
+    """Round-3 regression: the corpus-share total must come from a
+    broadcast scalar aggregate, never an unpartitioned window (which
+    funnels the grouped result through one partition)."""
+    from outliertree_spark.operators.skew import domain_profile
+    df = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("domain"))
+    plan = domain_profile(df, "domain")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the scalar sum's own final step is a SinglePartition exchange of
+    # ONE partial-sum row per task — that is fine; what must be gone is
+    # the WindowExec that funneled every grouped row through one task
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_hot_keys_plan_is_lazy_and_correct(spark):
+    """hot_keys must not run actions during construction (it used to
+    call df.count()); the threshold total is now in-plan."""
+    from outliertree_spark.operators.skew import hot_keys
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 300, "hot").otherwise(
+            F.col("id").cast("string")).alias("k"))
+    q = hot_keys(df, "k", threshold_frac=0.05)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "hot_keys ran an action eagerly"
+    assert [r.k for r in q.collect()] == ["hot"]
+
+
+def test_auto_salted_join_sizes_and_bounds(spark):
+    """Profile-driven salting end-to-end: pick_n_salts from the hot ppm,
+    result rows identical to a plain join, and the physical join keys
+    include the salt so no reducer owns a whole hot key."""
+    from outliertree_spark.operators.skew import (auto_salted_join,
+                                                  domain_profile,
+                                                  pick_n_salts)
+    rng = np.random.RandomState(3)
+    n = 20000
+    keys = np.where(rng.rand(n) < 0.4, 0, rng.randint(1, 50, n))
+    big = spark.createDataFrame(
+        pd.DataFrame({"host": keys, "v": rng.normal(size=n)}))
+    small = spark.createDataFrame(
+        pd.DataFrame({"host": np.arange(50), "w": np.arange(50) * 1.0}))
+
+    prof = domain_profile(big.select("host"), "host")
+    # hottest key ~40% of rows -> ceil(0.4/0.01) = 40 salts
+    assert 35 <= pick_n_salts(prof, target_frac=0.01) <= 45
+    assert pick_n_salts(prof, target_frac=0.25) == 2
+
+    joined, n_salts = auto_salted_join(big, small, "host",
+                                       target_frac=0.05)
+    assert n_salts >= 8
+    plain = big.join(small, "host").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("v") * F.col("w")), 5).alias("s")).first()
+    got = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("v") * F.col("w")), 5).alias("s")).first()
+    assert got["n"] == plain["n"]
+    assert got["s"] == pytest.approx(plain["s"], abs=1e-4)
+    # per-salt task bounding: the join condition carries _salt next to
+    # the natural key, so a hot key's rows split across n_salts reducers
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+    # no skew in the profile -> unsalted plain join
+    flat = spark.range(500).select(
+        (F.col("id") % 50).alias("host"), F.lit(1.0).alias("v"))
+    _, ns = auto_salted_join(flat, small, "host", target_frac=0.5)
+    assert ns == 1
+
+
 def test_domain_profile_ppm_and_hot_flag(spark):
     from outliertree_spark.operators.skew import domain_profile
     pdf = pd.DataFrame({"domain": ["a.com"] * 60 + ["b.com"] * 39

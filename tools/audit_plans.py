@@ -192,9 +192,11 @@ def main() -> None:
     sections.append((
         "Hot-domain skew profile",
         "Partial+final hash aggregate over the corpus (scan pruned to the "
-        "domain source column); the whole-partition window for corpus "
-        "share runs on the GROUPED result — one row per domain — never "
-        "the corpus.  Integer-ppm shares, so the oracle compares exactly.",
+        "domain source column); the corpus total is a SCALAR aggregate "
+        "over the grouped result, broadcast back with a cross join — no "
+        "WindowExec, no SinglePartition exchange anywhere in the plan, "
+        "so the shape holds at ~1e8 domains.  Integer-ppm shares, so the "
+        "oracle compares exactly.",
         plan_of(domain_profile(doms, "domain"))))
 
     with open("docs/PLANS.md", "w") as f:

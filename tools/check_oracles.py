@@ -40,7 +40,8 @@ def canon(rows, colnames):
     return sorted(out, key=repr)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01",
+         only: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from outliertree_spark.session import get_spark
 
@@ -53,6 +54,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_fail = 0
     for name, fn in qs.items():
         try:
@@ -121,4 +124,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(*sys.argv[1:]))
+    _args = sys.argv[1:]
+    _sf = _args[0] if _args and "/" in _args[0] else "/root/testdata/sf0.01"
+    _only = [a for a in _args if "/" not in a] or None
+    sys.exit(main(_sf, _only))
