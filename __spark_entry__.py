@@ -529,8 +529,10 @@ def q_simhash_dups(spark, sf_dir):
 def q_ann_lsh(spark, sf_dir):
     """Banded-LSH approximate top-k.  Rows-only by design: true top-k
     neighbors of random vectors sit at LOW cosine where any honest LSH
-    has partial recall; the quality gate is q_ann_recall (planted
-    near-dups, oracled) plus the pytest recall-vs-bruteforce bound."""
+    has partial recall; quality is gated by the ORACLED queries
+    q_ann_recall (planted high-cosine near-dups) and q_ann_topk_recall
+    (low-cosine recall@10 bounds vs brute force, round 3) plus the
+    pytest recall-vs-bruteforce bound."""
     from outliertree_spark.operators.similarity import lsh_topk
     emb = _tbl(spark, sf_dir, "embeddings")
     q = (emb.filter(F.col("vec_id") < 5)
@@ -596,6 +598,53 @@ def q_ivf_recall(spark, sf_dir):
     p = _planted_embeddings(spark, sf_dir)
     out = ivf_near_dups(p, min_cosine=0.8, k_cells=32, n_assign=2)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_topk_recall(spark, sf_dir):
+    """Low-cosine ANN quality oracle (round 3): recall@10 of lsh_topk and
+    ivf_topk vs exact brute force for 20 natural queries whose true
+    neighbors sit at cosine ~0.35-0.55 — the hard regime q_ann_recall's
+    planted ~0.97 pairs never exercise.  Per query the output carries the
+    exact top-1 neighbor (DuckDB recomputes id + cosine bit-for-bit) and
+    two boolean recall-bound gates; the oracle expects all-true, so any
+    recall regression below the bound flips a boolean and fails the
+    driver hash.  The sf0.01 fixture is deterministic (seeded planes,
+    seeded k-means sample), so the measured recalls are exact constants:
+    lsh min 0.6 / mean 0.89, ivf min 0.3 / mean 0.66 — the bounds sit AT
+    the minima, so any recall regression at all fails the gate.  The
+    settings themselves show the recall/cost dial: 4 planes x 16 tables
+    trades bigger buckets for high low-cosine recall (8 planes would
+    halve bucket sizes and recall alike)."""
+    from outliertree_spark.operators.ivf import ivf_topk
+    from outliertree_spark.operators.similarity import (brute_force_topk,
+                                                        lsh_topk)
+    emb = _tbl(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    embd = emb.select("vec_id", as_double.alias("embedding"))
+    q = (embd.filter(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+    k = 10
+    ex = brute_force_topk(embd, q, k=k)
+    lsh = lsh_topk(embd, q, k=k, n_tables=16, n_planes=4)
+    ivf = ivf_topk(embd, q, k=k, k_cells=32, nprobe=8)
+    exact_ids = ex.select("query_id", "neighbor_id")
+    hits_l = (exact_ids.join(lsh.select("query_id", "neighbor_id"),
+                             ["query_id", "neighbor_id"])
+              .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh")))
+    hits_i = (exact_ids.join(ivf.select("query_id", "neighbor_id"),
+                             ["query_id", "neighbor_id"])
+              .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_ivf")))
+    top1 = (ex.filter(F.col("rank") == 1)
+              .select("query_id", F.col("neighbor_id").alias("top1_id"),
+                      F.round("cosine", 4).alias("top1_cos")))
+    return (top1.join(hits_l, "query_id", "left")
+                .join(hits_i, "query_id", "left")
+                .select("query_id", "top1_id", "top1_cos",
+                        (F.coalesce("n_lsh", F.lit(0)) >= int(0.6 * k))
+                        .alias("lsh_recall_ok"),
+                        (F.coalesce("n_ivf", F.lit(0)) >= int(0.3 * k))
+                        .alias("ivf_recall_ok"))
+                .orderBy("query_id"))
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -757,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
+        "ann_topk_recall": q_ann_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
@@ -1379,6 +1429,29 @@ def oracle_sql() -> dict[str, str]:
             FROM p a, p b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.v, b.v) >= 0.8
+        """,
+        "ann_topk_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id < 20),
+            p AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv,
+                       list_transform(e.embedding,
+                                      x -> CAST(x AS DOUBLE))) AS cos
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id),
+            r AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id)
+                       AS rk
+              FROM p)
+            SELECT query_id, neighbor_id AS top1_id,
+                   round(cos, 4) AS top1_cos,
+                   true AS lsh_recall_ok, true AS ivf_recall_ok
+            FROM r WHERE rk = 1 ORDER BY query_id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -22,6 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .colref import qcol
 from .config import ValidationConfig
 from .model import attach_conditions, flaggable_values, model_from_json, model_to_json
 from .operators.fit import fit_arrays
@@ -225,7 +226,8 @@ class SparkOutlierTree:
             raise ValueError("no usable columns to fit on")
         import warnings
         keep_ids = [c for c in (id_cols or []) if c in df.columns]
-        sdf = df.select(*dict.fromkeys(keep_ids + fit_names))
+        sdf = df.select(*[qcol(c) for c in
+                          dict.fromkeys(keep_ids + fit_names)])
         if n_rows is None:
             n_rows = sdf.count()
         if n_rows > cfg.max_fit_rows:
@@ -297,9 +299,9 @@ class SparkOutlierTree:
                 continue
             if cm["kind"] == "numeric":
                 lo, hi = cm["min_outlier_any"], cm["max_outlier_any"]
-                col = F.col(name)
+                col = qcol(name)
                 if cm.get("is_ts"):
-                    col = F.unix_timestamp(F.col(name)).cast("double") - F.lit(cm["ts_min"])
+                    col = F.unix_timestamp(qcol(name)).cast("double") - F.lit(cm["ts_min"])
                 t = None
                 if math.isfinite(lo):
                     t = col <= F.lit(lo)
@@ -310,7 +312,7 @@ class SparkOutlierTree:
             else:
                 flaggable = [lev for lev, f in zip(cm["levels"], cm["cat_outlier_any"]) if f]
                 if flaggable:
-                    terms.append(F.col(name).isin(flaggable))
+                    terms.append(qcol(name).isin(flaggable))
         if not terms:
             return F.lit(False)
         expr = terms[0]
@@ -332,10 +334,10 @@ class SparkOutlierTree:
         lo, hi = cm["min_outlier_any"], cm["max_outlier_any"]
         terms = []
         if math.isfinite(lo):
-            terms.append(F.col(part_col)
+            terms.append(qcol(part_col)
                          <= F.to_date(F.timestamp_seconds(F.lit(lo + cm["ts_min"]))))
         if math.isfinite(hi):
-            terms.append(F.col(part_col)
+            terms.append(qcol(part_col)
                          >= F.to_date(F.timestamp_seconds(F.lit(hi + cm["ts_min"]))))
         if not terms:
             return None
@@ -353,7 +355,7 @@ class SparkOutlierTree:
         id_cols = id_cols or []
         needed = list(dict.fromkeys(
             id_cols + [c for c in model["schema"] if c in df.columns]))
-        sdf = df.select(*needed)
+        sdf = df.select(*[qcol(c) for c in needed])
         if prefilter:
             sdf = sdf.filter(self.prefilter_expr(df))
 
@@ -425,7 +427,7 @@ class SparkOutlierTree:
         twin of the rich renderer's value formatting, at fixed
         min_decimals)."""
         info = self.model_["schema"][name]
-        col = F.col(name)
+        col = qcol(name)
         if info["kind"] == "timestamp":
             return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
         if info["kind"] == "numeric":
@@ -482,9 +484,9 @@ class SparkOutlierTree:
             disp = self._display_expr(name, min_decimals)
             val_str = F.when(sc == name, disp).otherwise(val_str)
             if cm["kind"] == "numeric":
-                enc = F.col(name).cast("double")
+                enc = qcol(name).cast("double")
                 if cm.get("is_ts"):
-                    enc = F.unix_timestamp(F.col(name)).cast("double")
+                    enc = F.unix_timestamp(qcol(name)).cast("double")
                 val_num = F.when(sc == name, enc).otherwise(val_num)
             else:
                 levels = cm.get("levels") or []
@@ -503,13 +505,13 @@ class SparkOutlierTree:
             if cm.get("is_ts") and cm["name"] in df.columns:
                 enc_for_side = F.when(
                     sc == cm["name"],
-                    F.unix_timestamp(F.col(cm["name"])).cast("double")
+                    F.unix_timestamp(qcol(cm["name"])).cast("double")
                     - F.lit(cm["ts_min"])).otherwise(enc_for_side)
         is_hi = enc_for_side >= F.col("upper_lim")
         expl = F.when(is_hi, F.col("expl_hi")).otherwise(F.col("expl_lo"))
         gs = F.when(is_hi, F.col("gs_hi")).otherwise(F.col("gs_lo"))
 
-        row_label = (F.col(id_cols[0]).cast("string") if id_cols
+        row_label = (qcol(id_cols[0]).cast("string") if id_cols
                      else F.lit(""))
         expl = F.replace(expl, F.lit("{row}"), row_label)
         expl = F.replace(expl, F.lit("{value}"), val_str)
@@ -522,7 +524,7 @@ class SparkOutlierTree:
             expl = F.replace(expl, ph, fmt)
 
         return j.select(
-            *id_cols,
+            *[qcol(c) for c in id_cols],
             F.col("suspicious_column"),
             val_str.alias("suspicious_value"),
             val_num.alias("suspicious_value_num"),
@@ -545,8 +547,9 @@ class SparkOutlierTree:
             else self.config.pct_outliers
         id_cols = list(dict.fromkeys([partition_col] + (id_cols or [])))
         viols = self.predict(df, id_cols=id_cols)
-        totals = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("n_rows"))
-        vcnt = viols.groupBy(partition_col).agg(
+        totals = df.groupBy(qcol(partition_col)).agg(
+            F.count(F.lit(1)).alias("n_rows"))
+        vcnt = viols.groupBy(qcol(partition_col)).agg(
             F.count(F.lit(1)).alias("n_violations"))
         verdicts = (
             totals.join(vcnt, partition_col, "left")
@@ -604,7 +607,7 @@ class CheckpointLedger:
         done = self.done_partitions()
         if not done:
             return df
-        return df.filter(~F.col(partition_col).isin(list(done)))
+        return df.filter(~qcol(partition_col).isin(list(done)))
 
     def record_verdicts(self, verdicts: DataFrame, partition_col: str,
                         lineage: dict | None = None) -> None:

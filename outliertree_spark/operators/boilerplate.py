@@ -20,6 +20,8 @@ apply (xxhash64 for scale, md5_60 for the DuckDB oracle).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -59,20 +61,74 @@ def collect_boilerplate(df: DataFrame, min_docs: int = 3,
     return [r.line for r in rows]
 
 
+# Above this set size the literal-array scan loses to the Arrow
+# set-membership path (measured at sf0.1, see remove_boilerplate).
+LITERAL_SET_MAX = 1000
+
+
 def remove_boilerplate(df: DataFrame, boiler: list[str],
                        text_col: str = "text",
-                       out_col: str = "clean_text") -> DataFrame:
-    """Row-local removal: filter the doc's lines against the boilerplate
-    set (literal array of xxhash64 values — O(set) per row, no shuffle,
-    no join), preserving the original line order, and report how many
-    lines were dropped."""
+                       out_col: str = "clean_text",
+                       method: str = "auto") -> DataFrame:
+    """Remove boilerplate lines, preserving original line order, and
+    report how many lines were dropped.  Both methods are shuffle-free
+    maps; they differ only in per-line membership cost:
+
+    * ``literal`` — pure-Catalyst: filter the doc's lines against a
+      literal array of xxhash64 values.  ``array_contains`` on a
+      literal array is a LINEAR scan, so per-line cost is O(|boiler|):
+      fine for the usual top-100 set, a ~100x multiplier on the
+      cleaning map at the old 10k default.
+    * ``set`` — Arrow-vectorized: hashed O(1) membership against a
+      Python frozenset shipped once per executor in the UDF closure.
+      Per-line cost is flat in |boiler|.
+
+    ``auto`` picks ``literal`` for sets up to ``LITERAL_SET_MAX`` (1000)
+    and ``set`` beyond — the measured sf0.1 crossover (500 docs wall:
+    literal 0.6s at |set|=100 but 3.4s at |set|=10000; set path ~0.9s
+    flat at both sizes).  Semantics are identical (equivalence-tested):
+    split on newline, compare the space-trimmed line, join survivors."""
     if not boiler:
         return (df.withColumn(out_col, F.col(text_col))
                   .withColumn("n_lines_removed", F.lit(0).cast("long")))
-    bset = F.array(*[F.xxhash64(F.lit(b)) for b in boiler])
-    lines = F.split(F.col(text_col), r"\n")
-    kept = F.filter(lines,
-                    lambda ln: ~F.array_contains(bset, F.xxhash64(F.trim(ln))))
-    return (df.withColumn(out_col, F.array_join(kept, "\n"))
-              .withColumn("n_lines_removed",
-                          (F.size(lines) - F.size(kept)).cast("long")))
+    if method == "auto":
+        method = "literal" if len(boiler) <= LITERAL_SET_MAX else "set"
+    if method == "literal":
+        bset = F.array(*[F.xxhash64(F.lit(b)) for b in boiler])
+        lines = F.split(F.col(text_col), r"\n")
+        kept = F.filter(
+            lines,
+            lambda ln: ~F.array_contains(bset, F.xxhash64(F.trim(ln))))
+        return (df.withColumn(out_col, F.array_join(kept, "\n"))
+                  .withColumn("n_lines_removed",
+                              (F.size(lines) - F.size(kept)).cast("long")))
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    bfroz = frozenset(boiler)
+    out_schema = T.StructType([
+        T.StructField("clean", T.StringType()),
+        T.StructField("removed", T.LongType())])
+
+    @pandas_udf(out_schema)
+    def _clean(texts: pd.Series) -> pd.DataFrame:
+        cleans, removed = [], []
+        for t in texts:
+            if t is None:
+                cleans.append(None)
+                removed.append(None)
+                continue
+            lines = t.split("\n")
+            # mirror the Catalyst path exactly: membership tests the
+            # SPACE-trimmed line (F.trim strips ' ' only), output keeps
+            # the original untrimmed survivors in order
+            kept = [ln for ln in lines if ln.strip(" ") not in bfroz]
+            cleans.append("\n".join(kept))
+            removed.append(len(lines) - len(kept))
+        return pd.DataFrame({"clean": cleans, "removed": removed})
+
+    res = df.withColumn("_bp", _clean(F.col(text_col)))
+    return (res.withColumn(out_col, F.col("_bp.clean"))
+               .withColumn("n_lines_removed", F.col("_bp.removed"))
+               .drop("_bp"))

@@ -22,6 +22,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..colref import qcol
+
 _WORST = (1, 9999, 0, 2.0)  # sentinel losing to every real candidate
 
 
@@ -30,7 +32,7 @@ def _num_ref(col: str, schema: dict):
     condition column; timestamp predictors compare in the shifted-seconds
     space the model was fitted in."""
     info = (schema or {}).get(col) or {}
-    c = F.col(col)
+    c = qcol(col)
     if info.get("kind") == "timestamp":
         v = F.unix_timestamp(c).cast("double") - F.lit(info["ts_min"])
         return v, c.isNull()
@@ -53,12 +55,12 @@ def _edge_condition(parent: dict, child: dict, levels_by_col: dict,
         col = parent.get("col")
         if lev is None or col is None:
             return None
-        return F.col(col) == F.lit(levels_by_col[col][lev])
+        return qcol(col) == F.lit(levels_by_col[col][lev])
     col = parent.get("col")
     if col is None:
         return None
     kind = parent.get("col_kind")
-    c = F.col(col)
+    c = qcol(col)
     if kind == "numeric":
         v, isna = _num_ref(col, schema)
         if br == "isna":
@@ -86,7 +88,7 @@ def _own_condition(own: dict, levels_by_col: dict, schema: dict):
     col = own.get("col")
     if col is None:
         return None
-    c = F.col(col)
+    c = qcol(col)
     kind = own["kind"]
     br = own["branch"]
     if kind == "numeric":
@@ -113,7 +115,7 @@ def _cluster_own_condition(cl: dict, levels_by_col: dict, schema: dict):
         return None
     col = cl["col"]
     kind = cl["col_kind"]
-    c = F.col(col)
+    c = qcol(col)
     if kind == "numeric":
         v, isna = _num_ref(col, schema)
         if st == "isna":
@@ -140,8 +142,8 @@ def _cluster_own_condition(cl: dict, levels_by_col: dict, schema: dict):
 def _target_value_expr(cm: dict):
     name = cm["name"]
     if cm.get("is_ts"):
-        return F.unix_timestamp(F.col(name)).cast("double") - F.lit(cm["ts_min"])
-    return F.col(name).cast("double")
+        return F.unix_timestamp(qcol(name)).cast("double") - F.lit(cm["ts_min"])
+    return qcol(name).cast("double")
 
 
 def _score_expr(cm: dict, cl: dict, val: Column):
@@ -163,7 +165,7 @@ def _score_expr(cm: dict, cl: dict, val: Column):
     expr = F.lit(0.0)
     for i, s in enumerate(sc):
         if s != 0.0 and i < len(levels):
-            expr = F.when(F.col(cm["name"]) == F.lit(_lv(levels[i])),
+            expr = F.when(qcol(cm["name"]) == F.lit(_lv(levels[i])),
                           F.lit(float(s))).otherwise(expr)
     return expr
 
@@ -199,7 +201,7 @@ def compile_score_exprs(model: dict, df_cols: set[str]) -> dict[str, Column]:
             val = _target_value_expr(cm)
             candidate = val.isNotNull() & ~F.isnan(val)
         else:
-            val = F.col(name)
+            val = qcol(name)
             candidate = val.isNotNull()
 
         structs = []
@@ -266,7 +268,8 @@ def score_sql(model: dict, df: DataFrame,
                  if c in df.columns and c not in id_cols]
     exprs = compile_score_exprs(model, set(df.columns))
     if not exprs:
-        empty = df.select(*id_cols, *keep_cols).limit(0)
+        empty = df.select(*[qcol(c) for c in id_cols],
+                          *[qcol(c) for c in keep_cols]).limit(0)
         return (empty.withColumn("suspicious_column", F.lit(""))
                 .withColumn("outlier_score", F.lit(0.0))
                 .withColumn("tree_depth", F.lit(0))
@@ -276,14 +279,16 @@ def score_sql(model: dict, df: DataFrame,
     per_col = list(exprs.values())
     overall = (F.least(*per_col, _worst_struct())
                if len(per_col) > 1 else per_col[0])
-    sel = df.select(*id_cols, *keep_cols, overall.alias("_b"))
+    sel = df.select(*[qcol(c) for c in id_cols],
+                    *[qcol(c) for c in keep_cols],
+                    overall.alias("_b"))
     flagged = sel.filter(F.col("_b.cluster_id") >= 0)
     name_ix = {i: cm["name"] for i, cm in enumerate(model["columns"])}
     col_name = F.lit("")
     for ix, nm in name_ix.items():
         col_name = F.when(F.col("_b.col_ix") == ix, F.lit(nm)).otherwise(col_name)
     return flagged.select(
-        *id_cols, *keep_cols,
+        *[qcol(c) for c in id_cols], *[qcol(c) for c in keep_cols],
         col_name.alias("suspicious_column"),
         F.col("_b.score").alias("outlier_score"),
         F.col("_b.depth").cast("long").alias("tree_depth"),

@@ -58,3 +58,40 @@ def test_removal_plan_has_no_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_set_method_matches_literal(spark):
+    """The Arrow set-membership path (large boiler sets) must produce
+    byte-identical output to the Catalyst literal path, including
+    trim-at-match-but-not-in-output, preserved order, and nulls."""
+    docs = DOCS + [
+        (6, "  cookie banner accept all  \nleading spaces kept\tok"),
+        (7, None),
+        (8, ""),
+        (9, "cookie banner accept all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    boiler = ["cookie banner accept all", "never seen line"]
+    lit = {r.doc_id: (r.clean_text, r.n_lines_removed)
+           for r in remove_boilerplate(df, boiler,
+                                       method="literal").collect()}
+    st = {r.doc_id: (r.clean_text, r.n_lines_removed)
+          for r in remove_boilerplate(df, boiler, method="set").collect()}
+    assert lit == st
+    # the padded copy matches after trim, so it is removed too
+    assert lit[6] == ("leading spaces kept\tok", 1)
+    assert lit[7] == (None, None)
+    assert lit[9] == ("", 1)
+
+
+def test_auto_method_picks_by_set_size(spark):
+    from outliertree_spark.operators.boilerplate import LITERAL_SET_MAX
+    df = _df(spark)
+    small = ["cookie banner accept all"]
+    big = [f"boiler line number {i}" for i in range(LITERAL_SET_MAX + 1)]
+    plan_small = (remove_boilerplate(df, small)
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" not in plan_small
+    plan_big = (remove_boilerplate(df, big)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan_big

@@ -212,3 +212,56 @@ def test_stateful_drift_monitor(spark, tmp_path):
     a = out[out.src == "a"].iloc[0]["psi"]
     b = out[out.src == "b"].iloc[0]["psi"]
     assert b > a and b > 1.0 and abs(a) < 0.1
+
+
+def test_stateful_drift_monitor_multibatch_exact_psi(spark, tmp_path):
+    """Round-3: exact per-micro-batch PSI across 3 deterministic batches
+    with a planted shift — verifies the state actually ACCUMULATES
+    across batches (cumulative histogram), not just single-batch smoke.
+    One parquet file per batch + maxFilesPerTrigger=1 forces one
+    micro-batch per file; distinct mtimes pin the batch order."""
+    import math
+    import os as _os
+    import time as _time
+    from outliertree_spark.streaming.validate import stateful_drift_monitor
+
+    src = str(tmp_path / "drift_mb")
+    _os.makedirs(src)
+    batches = [
+        {"en": 50, "de": 50},   # matches baseline: psi ~ 0
+        {"en": 30, "de": 10},   # cumulative 80/60 -> mild drift
+        {"en": 0, "de": 40},    # cumulative 80/100 -> shift back
+    ]
+    t0 = _time.time() - 100
+    for i, counts in enumerate(batches):
+        rows = ([("k", "en")] * counts["en"] + [("k", "de")] * counts["de"])
+        pdf = pd.DataFrame(rows, columns=["src", "lang"])
+        f = f"{src}/batch_{i}.parquet"
+        pdf.to_parquet(f)
+        _os.utime(f, (t0 + i * 10, t0 + i * 10))
+
+    stream = (spark.readStream.schema("src string, lang string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    base = {"en": 0.5, "de": 0.5}
+    mon = stateful_drift_monitor(stream, "src", "lang", base)
+    q = (mon.writeStream.outputMode("update").format("memory")
+         .queryName("drift_mb").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    out = (spark.sql("SELECT * FROM drift_mb").toPandas()
+           .sort_values("n_total").reset_index(drop=True))
+    assert list(out["n_total"]) == [100, 140, 180]
+
+    def psi(en, de):
+        tot = en + de
+        s = 0.0
+        for p, b in ((en / tot, 0.5), (de / tot, 0.5)):
+            p = max(p, 1e-6)
+            s += (p - b) * math.log(p / b)
+        return s
+
+    expect = [psi(50, 50), psi(80, 60), psi(80, 100)]
+    for got, exp in zip(out["psi"], expect):
+        assert got == pytest.approx(exp, abs=1e-12), (got, exp)
+    # the planted shift is visible batch-over-batch
+    assert out["psi"][1] > out["psi"][0]

@@ -209,3 +209,72 @@ def test_hypothyroid_spark_end_to_end_golden(spark, hypothyroid):
     for frag in ("239.00", "98.571%", "177.00", "135.23", "12.57", "69",
                  "FTI", "T4U", "age"):
         assert frag in e745, (frag, e745)
+
+
+# README.md:8-27 blocks, byte-for-byte, with exactly ONE documented
+# mapping applied: the README was rendered by the reference's R
+# interface, which spells logicals TRUE/FALSE; the reference's own
+# Python interface (and ours) spells them True/False (str(bool)).
+# Everything else — every digit, space, tab and newline — is pinned.
+_README_1138 = (
+    "row [1138] - suspicious column: [age] - suspicious value: [75.00]\n"
+    "\tdistribution: 95.122% <= 42.00 - [mean: 31.46] - [sd: 5.28]"
+    " - [norm. obs: 39]\n"
+    "\tgiven:\n"
+    "\t\t[pregnant] = [True]")
+_README_2230 = (
+    "row [2230] - suspicious column: [T3] - suspicious value: [10.60]\n"
+    "\tdistribution: 99.951% <= 7.10 - [mean: 1.98] - [sd: 0.75]"
+    " - [norm. obs: 2050]\n"
+    "\tgiven:\n"
+    "\t\t[query.hyperthyroid] = [False]")
+_README_745 = (
+    "row [745] - suspicious column: [TT4] - suspicious value: [239.00]\n"
+    "\tdistribution: 98.571% <= 177.00 - [mean: 135.23] - [sd: 12.57]"
+    " - [norm. obs: 69]\n"
+    "\tgiven:\n"
+    "\t\t[FTI] between (97.96, 128.12] (value: 112.74)\n"
+    "\t\t[T4U] > [1.12] (value: 2.12)\n"
+    "\t\t[age] > [55.00] (value: 87.00)")
+
+
+def test_hypothyroid_readme_blocks_byte_identical(spark, hypothyroid):
+    """Full-string equality with the reference README's rendered blocks
+    (the north-rule invariant), upgraded from round-2's fragment
+    assertions.  Column names keep their ORIGINAL dots
+    (query.hyperthyroid) — exercising the backtick-safe column
+    references — and row ids are 1-based to match R's row numbers."""
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+    from outliertree_spark.report import print_outliers
+
+    pdf = hypothyroid.copy()
+    pdf.insert(0, "row_id", np.arange(1, len(pdf) + 1, dtype=np.int64))
+    for c in pdf.columns:
+        if pdf[c].dtype == object and any(isinstance(v, bool)
+                                          for v in pdf[c]):
+            pdf[c] = pd.array([None if v is None or (isinstance(v, float)
+                                                     and np.isnan(v))
+                               else bool(v) for v in pdf[c]],
+                              dtype="boolean")
+        elif isinstance(pdf[c].dtype, pd.CategoricalDtype):
+            pdf[c] = pdf[c].astype(object).where(pdf[c].notna(), None)
+    df = spark.createDataFrame(pdf)
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(df, id_cols=["row_id"])
+    out = eng.training_outliers().set_index("row_id")
+
+    assert out.loc[1138, "explanation"] == _README_1138
+    assert out.loc[2230, "explanation"] == _README_2230
+    assert out.loc[745, "explanation"] == _README_745
+
+    # B4 print path (reference __init__.py:785-969, sort at 819):
+    # ascending (uses_NA_branch, tree_depth, outlier_score) over the
+    # three README rows, rendered through print_outliers
+    sub = out.loc[[1138, 2230, 745]].reset_index()
+    txt = print_outliers(sub)
+    order = sub.sort_values(
+        ["uses_NA_branch", "tree_depth", "outlier_score"],
+        ascending=True)["explanation"].tolist()
+    expected = ("Reporting top 3 outliers [out of 3 found]\n\n\n"
+                + "\n\n\n".join(order) + "\n\n")
+    assert txt == expected
