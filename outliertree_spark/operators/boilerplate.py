@@ -84,10 +84,12 @@ def remove_boilerplate(df: DataFrame, boiler: list[str],
       Per-line cost is flat in |boiler|.
 
     ``auto`` picks ``literal`` for sets up to ``LITERAL_SET_MAX`` (1000)
-    and ``set`` beyond — the measured sf0.1 crossover (500 docs wall:
-    literal 0.6s at |set|=100 but 3.4s at |set|=10000; set path ~0.9s
-    flat at both sizes).  Semantics are identical (equivalence-tested):
-    split on newline, compare the space-trimmed line, join survivors."""
+    and ``set`` beyond — measured at sf0.1 (cached input, min of 2):
+    literal 0.23s / 0.38s / 1.99s at |set| = 100 / 1k / 10k, set path
+    flat at 0.28-0.39s across all three — the crossover sits right at
+    ~1k and the linear scan is ~6x slower by 10k.  Semantics are
+    identical (equivalence-tested): split on newline, compare the
+    space-trimmed line, join survivors."""
     if not boiler:
         return (df.withColumn(out_col, F.col(text_col))
                   .withColumn("n_lines_removed", F.lit(0).cast("long")))

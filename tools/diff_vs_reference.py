@@ -201,6 +201,15 @@ def gen_predict_case(seed: int, num_cols, cat_cols, ord_cols):
     for c, nc in cat_cols:
         v = rng.randint(0, nc, m)
         v[rng.rand(m) < 0.02] = -1
+        # UNSEEN categories (code == ncat): the reference skips them at
+        # every tree/cluster check (predict.cpp:241,405 guards), which
+        # is also why its tree-side simplify_when_equal_cond
+        # (clusters.cpp:810-972) is pure representation normalization —
+        # subset and eq/neq routing agree on every reachable input.
+        # Feeding them through the diff PROVES our subset-kept trees
+        # route identically (COVERAGE.md "known deviations").
+        v[2] = nc
+        v[rng.rand(m) < 0.02] = nc
         p_cat.append((v, nc))
     for c, nc in ord_cols:
         v = rng.randint(0, nc, m)
