@@ -179,11 +179,22 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     with the scan."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     n = F.size(toks)
-    grams = F.when(n >= k,
-                   F.transform(F.sequence(F.lit(0), n - k),
-                               lambda i: F.concat_ws(
-                                   " ", F.slice(toks, i + 1, k)))) \
-             .otherwise(F.array().cast("array<string>"))
+    # Gram identity via arithmetic over per-token hashes instead of
+    # building gram STRINGS (concat_ws over slices): distinct-count is
+    # identical absent hash collisions, and the interpreted-HOF cost
+    # drops ~8.5x (measured sf0.1: 6.85s -> 0.81s, outputs equal).
+    # Collision bound: token hashes live in a ~2^40 space and the
+    # rolling combine stays there, so P(two distinct grams collide
+    # within one doc) ~ (grams_per_doc^2 / 2) / 2^40 ~ 5e-9 — far below
+    # anything a distinct-count quality signal can see.
+    M = F.lit(1099511627689)  # prime just under 2^40
+    ha = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), M))
+    m = n - k + 1
+    acc = F.slice(ha, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(ha, 1 + j, m),
+                         lambda a, b: F.pmod(a * F.lit(1000003) + b, M))
+    grams = F.when(n >= k, acc).otherwise(F.array().cast("array<long>"))
     total = F.size(grams).cast("double")
     distinct = F.size(F.array_distinct(grams)).cast("double")
     ratio = F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0))
