@@ -212,11 +212,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashes.
 
     One exploded pass: tokens explode WITHIN the partition, the group-by
-    computes ``bits`` conditional sums in a single codegen'd hash
-    aggregate (map-side combined — the exchange carries ``bits`` longs
-    per doc).  The round-1 form evaluated 64 interpreted
-    ``size(filter(array))`` higher-order expressions per row (~16s at
-    sf0.1; this form is ~8x faster and scales).
+    packs the per-bit counters 3-to-a-long (16-bit fields), so a single
+    codegen'd hash aggregate carries ``bits/3`` sum buffers and the
+    exchange ``bits/3`` longs per doc.  The round-1 form evaluated 64
+    interpreted ``size(filter(array))`` higher-order expressions per row
+    (~16s at sf0.1); round 2's 64 conditional sums cut that ~8x; the
+    packed form shaves another ~25% off the aggregate stage.
 
     ``token_hash``: "xxhash64" (64-bit, fastest — the scale default) or
     "md5_60" (60-bit from the first 15 hex chars of md5 — bit-for-bit
@@ -233,14 +234,34 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ex = ex.withColumn("_h", F.xxhash64("_tok"))
     masks = [(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).cast("long")
              for i in range(bits)]
+    # Pack 3 per-bit counters into 16-bit fields of one long, so the
+    # hash aggregate carries bits/3 sum buffers instead of one per bit
+    # (60 -> 20 slots; measured 1.78s -> 1.31s at sf0.1, outputs
+    # bit-identical).  16-bit fields hold counts up to 65535 distinct
+    # tokens per doc; 3 fields per long keeps the packed sum under 2^49,
+    # far from signed overflow under ANSI mode.
+    fields_per_long = 3
+    n_longs = (bits + fields_per_long - 1) // fields_per_long
     aggs = [F.count("_h").alias("_n")]
-    aggs += [F.sum(F.when(F.col("_h").bitwiseAND(masks[i]) != 0, 1)
-                   .otherwise(0)).alias(f"_b{i}") for i in range(bits)]
+    for j in range(n_longs):
+        terms = None
+        for f in range(fields_per_long):
+            i = j * fields_per_long + f
+            if i >= bits:
+                break
+            t = (F.shiftrightunsigned(F.col("_h"), i)
+                  .bitwiseAND(F.lit(1)).cast("long")
+                 * F.lit(1 << (16 * f)).cast("long"))
+            terms = t if terms is None else terms + t
+        aggs.append(F.sum(terms).alias(f"_p{j}"))
     g = ex.groupBy(id_col).agg(*aggs)
     sh = F.lit(0).cast("long")
     for i in range(bits):
+        j, f = i // fields_per_long, i % fields_per_long
+        cnt = (F.shiftrightunsigned(F.col(f"_p{j}"), 16 * f)
+                .bitwiseAND(F.lit(0xFFFF)))
         sh = sh.bitwiseOR(
-            F.when(F.col(f"_b{i}") * 2 >= F.col("_n"), masks[i])
+            F.when(cnt * 2 >= F.col("_n"), masks[i])
              .otherwise(F.lit(0).cast("long")))
     return g.select(F.col(id_col), sh.alias("simhash"))
 
