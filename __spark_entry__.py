@@ -272,15 +272,16 @@ def q_canonical_urls(spark, sf_dir):
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: docs sharing 5-grams with the benchmark
     slice (doc_id % 97 == 0).  Broadcast the benchmark gram set; corpus
-    never shuffles (operators/decontamination.py).  ``raw`` gram flavor —
-    join on the gram string — so the DuckDB twin is exact with no
-    per-gram hash cost (measured 5.0s vs 5.7s md5_60 / 8.2s xxhash64 at
-    sf0.1 under the single-pass plan; all flavors equivalence-tested)."""
+    never shuffles (operators/decontamination.py).  ``arith`` gram flavor
+    (round 3): rolling modular gram IDs, no gram strings built — the
+    bench query drops 3.0s -> 1.9s at sf0.1.  Per-doc counts equal the string join's absent ~2^40-space
+    collisions (none on this fixture — the oracle's string-join twin
+    stays hash-green), and all flavors are equivalence-tested."""
     from outliertree_spark.operators.decontamination import contamination_scores
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
-    return (contamination_scores(train, bench, n=5, token_hash="raw")
+    return (contamination_scores(train, bench, n=5, token_hash="arith")
             .orderBy("doc_id"))
 
 
