@@ -242,7 +242,23 @@ def q_canonical_urls(spark, sf_dir):
     oracle-exercised, not just unit-tested."""
     from outliertree_spark.operators.webtext import canonicalize_url, url_host
     d = _docs(spark, sf_dir)
-    i = F.col("doc_id")
+    messy = _messy_url()
+    return (d.select(
+                "doc_id",
+                canonicalize_url(messy).alias("canonical_url"),
+                url_host(messy).alias("host"))
+            .orderBy("doc_id"))
+
+
+def _messy_url(i=None):
+    """Deterministically messy URL built from integer expression ``i``
+    (default doc_id): mixed case, default / explicit ports, missing
+    paths, tracking params, fragments, and a scheme-less variant every
+    i % 7 == 3 — shared by q_canonical_urls (i = doc_id, near-unique)
+    and q_url_dup_groups (i = doc_id % 100, many docs per URL); the
+    DuckDB twin lives in _canonical_urls_cte()."""
+    if i is None:
+        i = F.col("doc_id")
     messy = F.concat(
         F.lit("HTTP"), F.when(i % 3 == 2, F.lit("S")).otherwise(F.lit("")),
         F.lit("://Host"), (i % 53).cast("string"), F.lit(".Example.COM"),
@@ -256,17 +272,28 @@ def q_canonical_urls(spark, sf_dir):
          .when(i % 4 == 2, F.lit("?utm_campaign=z"))
          .otherwise(F.lit("")),
         F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
-    messy = F.when(
+    return F.when(
         i % 7 == 3,
         F.concat(F.lit("Host"), (i % 53).cast("string"),
                  F.lit(".Example.COM/p/"), i.cast("string"),
                  F.when(i % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
     ).otherwise(messy)
-    return (d.select(
-                "doc_id",
-                canonicalize_url(messy).alias("canonical_url"),
-                url_host(messy).alias("host"))
-            .orderBy("doc_id"))
+
+
+def q_url_dup_groups(spark, sf_dir):
+    """URL-canonicalization dedup groups (round 3): docs sharing a
+    canonical URL after fragment/port/tracking-param normalization, with
+    the deterministic keeper (min doc_id).  The at-scale shape is a
+    plain hash agg on the full canonical URL — near-unique keys, so no
+    salting needed (webtext.py::canonical_duplicate_urls docstring)."""
+    from outliertree_spark.operators.webtext import canonical_duplicate_urls
+    d = _docs(spark, sf_dir)
+    df = d.select("doc_id", _messy_url(F.col("doc_id") % 100).alias("url"))
+    out = canonical_duplicate_urls(df, url_col="url", id_col="doc_id")
+    return (out.select("canonical_url",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       "keep_id")
+               .orderBy("canonical_url"))
 
 
 def q_decontamination(spark, sf_dir):
@@ -341,6 +368,37 @@ def q_boilerplate_removal(spark, sf_dir):
     return (out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
                        "n_lines_removed")
             .orderBy("doc_id"))
+
+
+def q_training_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline in ONE declarative plan
+    (round 3): boilerplate-clean -> PII scrub -> exact dedup (keep min
+    doc_id per distinct cleaned text) -> deterministic stratified
+    sample, oracled as a single DuckDB twin chaining the same proven
+    stages.  The at-scale shape composes what each stage already
+    guarantees: the cleaning/scrub maps are shuffle-free, dedup is one
+    hash agg on the content hash, and the sample is a scan predicate —
+    so the whole pipeline costs one corpus pass plus one dedup
+    exchange.  Output carries md5 of the final bytes so the oracle
+    verifies the exact surviving content, not just counts."""
+    from outliertree_spark.operators.boilerplate import (
+        collect_boilerplate, remove_boilerplate)
+    from outliertree_spark.operators.sampling import stratified_sample
+    from outliertree_spark.operators.scrub import scrub_pii
+    d = _lined_docs(_docs(spark, sf_dir))
+    boiler = collect_boilerplate(d, min_docs=3, max_lines=100)
+    cleaned = remove_boilerplate(d, boiler)
+    scrubbed = cleaned.select("doc_id", "lang",
+                              scrub_pii("clean_text").alias("scrubbed"))
+    reps = (scrubbed.groupBy(F.md5("scrubbed").alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id")))
+    kept = scrubbed.join(reps.select("doc_id"), "doc_id", "left_semi")
+    out = stratified_sample(kept, "lang", {"en": 0.10, "de": 0.50},
+                            "doc_id", default_rate=1.0,
+                            hash_kind="md5_60")
+    return (out.select("doc_id", "lang",
+                       F.md5("scrubbed").alias("final_md5"))
+               .orderBy("doc_id"))
 
 
 def q_token_counts(spark, sf_dir):
@@ -784,10 +842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_within_minute": q_events_within_minute,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
+        "url_dup_groups": q_url_dup_groups,
         "decontamination": q_decontamination,
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_removal": q_boilerplate_removal,
+        "training_pipeline": q_training_pipeline,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -908,6 +968,101 @@ _PLANTED_EMB_SQL = """
                                             x -> CAST(x AS DOUBLE)))
           FROM embeddings WHERE vec_id % 20 = 0)
 """
+
+
+def _boiler_cte() -> str:
+    """Shared DuckDB chain: 8-token line chunking + top-100 frequent-line
+    boilerplate set + per-doc kept-lines — used by the boilerplate_removal
+    and training_pipeline oracles so they cannot drift."""
+    return r'''
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, list_transform(
+                  generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
+                  i -> trim(array_to_string(
+                         t[(i-1)*8+1 : (i-1)*8+8], ' '))) AS cs
+              FROM toks),
+            lines AS (
+              SELECT doc_id, unnest(list_distinct(cs)) AS line FROM chunks),
+            f AS (
+              SELECT line, count(*) AS n_docs
+              FROM lines WHERE length(line) >= 10
+              GROUP BY line HAVING count(*) >= 3),
+            b AS (
+              SELECT coalesce(list(line ORDER BY n_docs DESC, line), [])
+                       AS bl
+              FROM (SELECT * FROM f ORDER BY n_docs DESC, line LIMIT 100)),
+            c AS (
+              SELECT doc_id, cs,
+                     list_filter(cs,
+                       x -> NOT list_contains(bl, trim(x))) AS kept
+              FROM chunks, b)'''
+
+
+def _canonical_urls_cte(ix: str = "doc_id") -> str:
+    """Shared DuckDB CTE chain rebuilding the messy-URL fixture and its
+    canonical form — used by both the canonical_urls and url_dup_groups
+    oracles so the two can never drift apart.  ``ix`` is the integer
+    expression the URL formula is built from: ``doc_id`` for the 1:1
+    canonicalization fixture, ``(doc_id % 100)`` for the dup-groups
+    fixture (many docs per URL)."""
+    return f'''
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN {ix} % 7 = 3 THEN
+                       'Host' || CAST({ix} % 53 AS VARCHAR)
+                       || '.Example.COM/p/' || CAST({ix} AS VARCHAR)
+                       || CASE WHEN {ix} % 2 = 0 THEN '#sec' ELSE '' END
+                     ELSE
+                       'HTTP' || CASE WHEN {ix} % 3 = 2 THEN 'S' ELSE '' END
+                       || '://Host' || CAST({ix} % 53 AS VARCHAR)
+                       || '.Example.COM'
+                       || CASE {ix} % 3 WHEN 0 THEN ':80'
+                               WHEN 1 THEN ':8080' ELSE ':443' END
+                       || CASE WHEN {ix} % 5 = 0 THEN ''
+                               ELSE '/p/' || CAST({ix} AS VARCHAR) END
+                       || CASE {ix} % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
+                               WHEN 1 THEN '?b=2&a=1'
+                               WHEN 2 THEN '?utm_campaign=z' ELSE '' END
+                       || CASE WHEN {ix} % 2 = 0 THEN '#sec' ELSE '' END
+                     END AS url
+              FROM documents),
+            s AS (SELECT doc_id, url,
+                         regexp_replace(url, '#.*$', '', 'g') AS c FROM m),
+            h AS (SELECT doc_id, url, c,
+                         regexp_extract(c,
+                           '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1) AS head,
+                         lower(regexp_extract(c,
+                           '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
+                         lower(regexp_extract(c,
+                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)) AS hp
+                  FROM s),
+            n AS (SELECT doc_id, url, c, head, scheme,
+                         CASE WHEN scheme = 'https' THEN
+                                regexp_replace(
+                                  CASE WHEN scheme = 'http'
+                                       THEN regexp_replace(hp, ':80$', '')
+                                       ELSE hp END, ':443$', '')
+                              WHEN scheme = 'http'
+                                THEN regexp_replace(hp, ':80$', '')
+                              ELSE hp END AS hp2,
+                         substring(c, length(head) + 1) AS rest
+                  FROM h),
+            p AS (SELECT doc_id, url, c, head, scheme, hp2,
+                         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
+                              THEN '/'
+                              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+                         coalesce(array_to_string(list_sort(list_filter(
+                             string_split(
+                               regexp_extract(rest, '\?(.*)$', 1), '&'),
+                             q -> q <> '' AND NOT regexp_matches(q,
+                               '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '')
+                           AS qs
+                  FROM n)
+'''
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1071,59 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors q_canonical_urls: messy-URL build + the exact
         # operators/webtext.py::canonicalize_url chain (no backrefs)
-        "canonical_urls": r"""
-            WITH m AS (
-              SELECT doc_id,
-                     CASE WHEN doc_id % 7 = 3 THEN
-                       'Host' || CAST(doc_id % 53 AS VARCHAR)
-                       || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
-                       || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
-                     ELSE
-                       'HTTP' || CASE WHEN doc_id % 3 = 2 THEN 'S' ELSE '' END
-                       || '://Host' || CAST(doc_id % 53 AS VARCHAR)
-                       || '.Example.COM'
-                       || CASE doc_id % 3 WHEN 0 THEN ':80'
-                               WHEN 1 THEN ':8080' ELSE ':443' END
-                       || CASE WHEN doc_id % 5 = 0 THEN ''
-                               ELSE '/p/' || CAST(doc_id AS VARCHAR) END
-                       || CASE doc_id % 4 WHEN 0 THEN '?utm_source=x&b=2&a=1'
-                               WHEN 1 THEN '?b=2&a=1'
-                               WHEN 2 THEN '?utm_campaign=z' ELSE '' END
-                       || CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END
-                     END AS url
-              FROM documents),
-            s AS (SELECT doc_id, url,
-                         regexp_replace(url, '#.*$', '', 'g') AS c FROM m),
-            h AS (SELECT doc_id, url, c,
-                         regexp_extract(c,
-                           '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)', 1) AS head,
-                         lower(regexp_extract(c,
-                           '^([a-zA-Z][a-zA-Z0-9+.\-]*)://', 1)) AS scheme,
-                         lower(regexp_extract(c,
-                           '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)', 1)) AS hp
-                  FROM s),
-            n AS (SELECT doc_id, url, c, head, scheme,
-                         CASE WHEN scheme = 'https' THEN
-                                regexp_replace(
-                                  CASE WHEN scheme = 'http'
-                                       THEN regexp_replace(hp, ':80$', '')
-                                       ELSE hp END, ':443$', '')
-                              WHEN scheme = 'http'
-                                THEN regexp_replace(hp, ':80$', '')
-                              ELSE hp END AS hp2,
-                         substring(c, length(head) + 1) AS rest
-                  FROM h),
-            p AS (SELECT doc_id, url, c, head, scheme, hp2,
-                         CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = ''
-                              THEN '/'
-                              ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
-                         coalesce(array_to_string(list_sort(list_filter(
-                             string_split(
-                               regexp_extract(rest, '\?(.*)$', 1), '&'),
-                             q -> q <> '' AND NOT regexp_matches(q,
-                               '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '')
-                           AS qs
-                  FROM n)
+        "canonical_urls": _canonical_urls_cte() + r"""
             SELECT doc_id,
                    CASE WHEN head = '' THEN c
                         ELSE scheme || '://' || hp2 || path
@@ -1133,6 +1236,22 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_extract(url,
                      '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1)) AS host
             FROM p ORDER BY doc_id
+        """,
+        "url_dup_groups": _canonical_urls_cte("(doc_id % 100)") + r"""
+            , canon AS (
+              SELECT doc_id,
+                     CASE WHEN head = '' THEN c
+                          ELSE scheme || '://' || hp2 || path
+                               || CASE WHEN qs = '' THEN ''
+                                       ELSE '?' || qs END
+                     END AS canonical_url
+              FROM p)
+            SELECT canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keep_id
+            FROM canon GROUP BY canonical_url
+            HAVING count(*) > 1
+            ORDER BY canonical_url
         """,
         # mirrors q_decontamination: raw 5-gram strings, benchmark =
         # doc_id % 97 == 0 slice, per-train-doc contaminated-gram counts
@@ -1181,36 +1300,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors q_boilerplate_removal: top-100 boiler set (n_docs desc,
         # line asc), order-preserving line filter, md5 of cleaned bytes
-        "boilerplate_removal": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     regexp_split_to_array(trim(text), '\s+') AS t
-              FROM documents),
-            chunks AS (
-              SELECT doc_id, list_transform(
-                  generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
-                  i -> trim(array_to_string(
-                         t[(i-1)*8+1 : (i-1)*8+8], ' '))) AS cs
-              FROM toks),
-            lines AS (
-              SELECT doc_id, unnest(list_distinct(cs)) AS line FROM chunks),
-            f AS (
-              SELECT line, count(*) AS n_docs
-              FROM lines WHERE length(line) >= 10
-              GROUP BY line HAVING count(*) >= 3),
-            b AS (
-              SELECT coalesce(list(line ORDER BY n_docs DESC, line), [])
-                       AS bl
-              FROM (SELECT * FROM f ORDER BY n_docs DESC, line LIMIT 100)),
-            c AS (
-              SELECT doc_id, cs,
-                     list_filter(cs,
-                       x -> NOT list_contains(bl, trim(x))) AS kept
-              FROM chunks, b)
+        "boilerplate_removal": _boiler_cte() + r"""
             SELECT doc_id,
                    md5(array_to_string(kept, chr(10))) AS clean_md5,
                    CAST(len(cs) - len(kept) AS BIGINT) AS n_lines_removed
             FROM c ORDER BY doc_id
+        """,
+        "training_pipeline": _boiler_cte() + r"""
+            , cl AS (
+              SELECT doc_id, array_to_string(kept, chr(10)) AS clean
+              FROM c),
+            sc AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(clean,
+                       '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+                       AS scrubbed
+              FROM cl),
+            dd AS (
+              SELECT md5(scrubbed) AS h, min(doc_id) AS keep_id
+              FROM sc GROUP BY md5(scrubbed)),
+            keep AS (
+              SELECT s.doc_id, s.scrubbed FROM sc s
+              JOIN dd ON s.doc_id = dd.keep_id)
+            SELECT k.doc_id, d.lang, md5(k.scrubbed) AS final_md5
+            FROM keep k JOIN documents d USING (doc_id)
+            WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)
+                                          || 's0'), 1, 15) AS BIGINT)
+                  % 1000000
+                  < CASE d.lang WHEN 'en' THEN 100000
+                                WHEN 'de' THEN 500000
+                                ELSE 1000000 END
+            ORDER BY k.doc_id
         """,
         # mirrors q_pii_scrub (same planted suffixes + RE2 patterns)
         "pii_scrub": r"""
