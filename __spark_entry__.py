@@ -390,15 +390,18 @@ def q_training_pipeline(spark, sf_dir):
     cleaned = remove_boilerplate(d, boiler)
     scrubbed = cleaned.select("doc_id", "lang",
                               scrub_pii("clean_text").alias("scrubbed"))
-    reps = (scrubbed.groupBy(F.md5("scrubbed").alias("_h"))
-            .agg(F.min("doc_id").alias("doc_id")))
-    kept = scrubbed.join(reps.select("doc_id"), "doc_id", "left_semi")
+    # the dedup group key IS the output content hash, so the keeper agg
+    # needs no join-back: ONE corpus scan, and the only exchange carries
+    # (md5, doc_id, lang) — never the text bytes
+    reps = (scrubbed.groupBy(F.md5("scrubbed").alias("final_md5"))
+            .agg(F.min_by(F.struct("doc_id", "lang"), "doc_id")
+                  .alias("_r")))
+    kept = reps.select(F.col("_r.doc_id").alias("doc_id"),
+                       F.col("_r.lang").alias("lang"), "final_md5")
     out = stratified_sample(kept, "lang", {"en": 0.10, "de": 0.50},
                             "doc_id", default_rate=1.0,
                             hash_kind="md5_60")
-    return (out.select("doc_id", "lang",
-                       F.md5("scrubbed").alias("final_md5"))
-               .orderBy("doc_id"))
+    return out.select("doc_id", "lang", "final_md5").orderBy("doc_id")
 
 
 def q_token_counts(spark, sf_dir):

@@ -309,7 +309,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "dedup_clusters", "stratified_sample", "vocab_top_terms",
              "repetition_scores", "extract_text", "canonical_urls",
              "decontamination", "pii_scrub", "hot_domains",
-             "orphan_hosts"]
+             "orphan_hosts", "url_dup_groups", "training_pipeline",
+             "ann_topk_recall"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -199,6 +199,19 @@ def main() -> None:
         "oracle compares exactly.",
         plan_of(domain_profile(doms, "domain"))))
 
+    import __spark_entry__ as entrymod
+    sections.append((
+        "Composed training pipeline (clean -> scrub -> dedup -> sample)",
+        "Four stages in ONE declarative plan over ONE corpus scan: the "
+        "boilerplate-removal and PII-scrub maps fuse into the scan's "
+        "codegen stage, exact dedup is a hash agg whose group key IS the "
+        "output content hash (min_by keeper, no join-back), and the "
+        "stratified sample filters the per-content keeper rows — so the "
+        "only exchange carries (md5, doc_id, lang), never text bytes.  "
+        "Oracled md5-exact end-to-end (training_pipeline).",
+        plan_of(entrymod.queries()["training_pipeline"](
+            spark, "/root/testdata/sf0.001"))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
