@@ -118,3 +118,38 @@ def test_golden_explanation_strings():
         " - [prior_prob: 10.000%]\n"
         "\tgiven:\n"
         "\t\t[y] > [5.00] (value: 6.25)")
+
+
+def test_arithmetic_gram_paths_handle_null_empty_short(spark):
+    """Round-3 arithmetic gram/shingle IDs must degrade exactly like the
+    string forms on null / empty / shorter-than-k texts: empty arrays,
+    zero counts, never nulls or errors."""
+    import pyspark.sql.functions as F
+    from outliertree_spark.operators.dedup import (minhash_signatures,
+                                                   shingle_hash_array)
+    from outliertree_spark.operators.decontamination import ngram_hashes
+    from outliertree_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two"), (4, "a b c d e f")],
+        "doc_id long, text string")
+
+    rep = {r.doc_id: (r.n_grams, r.dup_gram_ratio)
+           for r in repetition_scores(df).collect()}
+    assert rep[1] == (0, 0.0) and rep[2] == (0, 0.0)
+    assert rep[3] == (1, 0.0)
+    assert rep[4] == (5, 0.0)
+
+    sh = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        F.size(shingle_hash_array("text", 3)).alias("n")).collect()}
+    assert sh == {1: 0, 2: 0, 3: 0, 4: 4}
+
+    ng = {r.doc_id: r.n for r in df.select(
+        "doc_id",
+        F.size(ngram_hashes("text", 5, "arith")).alias("n")).collect()}
+    assert ng == {1: 0, 2: 0, 3: 0, 4: 2}
+
+    # docs without shingles simply have no signature row (same as the
+    # string-shingle behavior)
+    assert minhash_signatures(df).count() == 1
