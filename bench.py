@@ -372,8 +372,12 @@ def main() -> None:
     # dominate; 60M is steady-state (round-3 split-size sweep confirmed
     # 32m splits optimal: finer tasks LOSE to per-task Arrow setup —
     # 32m 0.73 / 16m 0.62 / 8m 0.55 on identical input).
+    # one extra interleave round on the GATED pair: this host's capacity
+    # swings on minute scale (membw probe has read 15-22 GB/s at 8 procs
+    # across windows), and per-level minima only help if at least one
+    # round lands in a clean window
     gated = run_ladder(model_path, SCALE_DOCS, [LOW_PAR, CPUS],
-                       rounds=rounds)
+                       rounds=rounds + 1)
     # supporting 4->16 pair at the 20M size (short job is fine at low
     # parallelism: 15s+ runs)
     support = run_ladder(model_path, TARGET_DOCS, [4, 16], rounds=rounds)

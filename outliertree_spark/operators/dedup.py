@@ -289,12 +289,15 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                  "blk", "key")
     r = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
                  "blk", "key")
-    pairs = (l.join(r, ["blk", "key"]).filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    # hamming filter BEFORE the distinct: bit_count is a few cycles per
+    # candidate while distinct is an exchange — dropping the far misses
+    # first means the dedup shuffle carries only true near-dups (a pair
+    # colliding in several blocks is deduped after, identically)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.withColumn("hamming", ham)
-                 .filter(F.col("hamming") <= max_hamming)
-                 .select("id_a", "id_b", "hamming"))
+    return (l.join(r, ["blk", "key"]).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("hamming", ham)
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming").distinct())
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
