@@ -127,6 +127,22 @@ def q_rare_categories(spark, sf_dir):
             .select("event_type", "n"))
 
 
+def q_uniqueness_screen(spark, sf_dir):
+    """Approximate-distinct uniqueness pre-screen (SURVEY 2.6: the cheap
+    single-pass gate before exact salted dedup).  Output compares the
+    EXACT counts per column plus an approx_ok flag asserting the HLL++
+    estimate landed within 3x the configured rsd of exact — DuckDB
+    recomputes the exact side and expects every flag true, so a sketch
+    regression fails the hash.  approx_distinct itself is excluded from
+    the compared columns (engine sketches differ by design)."""
+    from outliertree_spark.operators.checks import uniqueness_screen
+    orders = _tbl(spark, sf_dir, "orders")
+    out = uniqueness_screen(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus"], rsd=0.05)
+    return (out.select("column", "n_rows", "n_distinct", "approx_ok")
+               .orderBy("column"))
+
+
 def q_drift_psi_lang(spark, sf_dir):
     from outliertree_spark.operators.checks import distribution_drift
     d = _docs(spark, sf_dir)
@@ -836,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": q_referential_orphans,
         "orphan_orders": q_orphan_orders,
         "rare_categories": q_rare_categories,
+        "uniqueness_screen": q_uniqueness_screen,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
         "ts_range_events": q_ts_range_events,
@@ -1117,6 +1134,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n FROM rare, params, blocked
             WHERE tot >= 1000 AND b = 0
               AND (SELECT count(*) FROM rare) = 1
+        """,
+        "uniqueness_screen": r"""
+            SELECT col AS column, n_rows, n_distinct, true AS approx_ok
+            FROM (
+              SELECT 'o_orderkey' AS col,
+                     CAST(count(o_orderkey) AS BIGINT) AS n_rows,
+                     CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct
+              FROM orders
+              UNION ALL
+              SELECT 'o_custkey',
+                     CAST(count(o_custkey) AS BIGINT),
+                     CAST(count(DISTINCT o_custkey) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     CAST(count(o_orderstatus) AS BIGINT),
+                     CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+              FROM orders)
+            ORDER BY col
         """,
         "drift_psi_lang": """
             WITH a AS (SELECT lang, count(*) AS n_a FROM documents

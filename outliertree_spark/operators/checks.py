@@ -119,3 +119,42 @@ def group_bound_violations(df: DataFrame, group_cols: list[str], value_col: str,
         out = df.join(F.broadcast(stats), group_cols)
     return (out.filter(F.abs(v - F.col("_mu")) > F.lit(z) * F.col("_sd"))
                .drop("_mu", "_sd", "_q1", "_q3"))
+
+
+def uniqueness_screen(df: DataFrame, cols: list[str],
+                      rsd: float = 0.05,
+                      with_exact: bool = True) -> DataFrame:
+    """Cheap uniqueness pre-screen: one aggregate pass emitting, per
+    column, non-null row count and HyperLogLog++ approximate distinct
+    count (``approx_count_distinct``, relative error ``rsd``).
+
+    This is the 100 TB first pass that decides whether the exact salted
+    dedup (``uniqueness_violations``) is worth running at all: a column
+    whose approximate distinct count ~= its row count cannot hold many
+    duplicates, and the sketch costs one scan with a constant-size
+    state per column — no shuffle of the keys.
+
+    ``with_exact`` additionally computes exact distinct counts and an
+    ``approx_ok`` flag (estimate within 3*rsd of exact) — used by the
+    CORRECTNESS oracle to gate the sketch's quality against a DuckDB
+    exact twin; switch it off at scale where exact distinct is the very
+    cost being avoided."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_n_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_ad_{c}"))
+        if with_exact:
+            aggs.append(F.countDistinct(c).alias(f"_ed_{c}"))
+    row = df.agg(*aggs)
+    fields = []
+    for c in cols:
+        f = [F.lit(c).alias("column"),
+             F.col(f"_n_{c}").alias("n_rows"),
+             F.col(f"_ad_{c}").alias("approx_distinct")]
+        if with_exact:
+            f.append(F.col(f"_ed_{c}").alias("n_distinct"))
+            f.append((F.abs(F.col(f"_ad_{c}") - F.col(f"_ed_{c}"))
+                      <= 3 * rsd * F.col(f"_ed_{c}")).alias("approx_ok"))
+        fields.append(F.struct(*f))
+    return (row.select(F.explode(F.array(*fields)).alias("_s"))
+               .select("_s.*"))
