@@ -129,3 +129,37 @@ def stream_quality_gate(stream_df: DataFrame, text_col: str = "text",
     from ..operators.text import quality_features
     scored = quality_features(stream_df, text_col)
     return scored.filter(F.col("quality_score") >= min_score)
+
+
+def stream_clean_pipeline(stream_df: DataFrame, ts_col: str,
+                          boiler: list[str],
+                          text_col: str = "text",
+                          min_score: float = 0.0,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """The batch training pipeline's streaming twin: boilerplate removal
+    and PII scrub are stateless codegen maps so they run on the stream
+    unchanged; exact dedup becomes ``dropDuplicatesWithinWatermark`` on
+    the scrubbed-content hash (state bounded by the watermark horizon —
+    at-least-once dedup, the standard trade on an unbounded crawl); an
+    optional quality gate filters last, after cleaning, so scores judge
+    the text that would actually ship.  The boilerplate set is the
+    driver-collected batch artifact (collect_boilerplate) — in
+    production it is refreshed per epoch, not per micro-batch."""
+    from ..operators.boilerplate import remove_boilerplate
+    from ..operators.scrub import scrub_pii
+    from ..operators.text import quality_features
+
+    cleaned = remove_boilerplate(stream_df, boiler, text_col=text_col)
+    scrubbed = cleaned.withColumn("_scrubbed", scrub_pii("clean_text"))
+    h = F.md5(F.col("_scrubbed")).alias("_content_hash")
+    deduped = (scrubbed.select("*", h)
+               .withWatermark(ts_col, watermark)
+               .dropDuplicatesWithinWatermark(["_content_hash"]))
+    if min_score > 0.0:
+        scored = quality_features(
+            deduped.withColumn("_qtext", F.col("_scrubbed")), "_qtext")
+        deduped = (scored.filter(F.col("quality_score") >= min_score)
+                   .drop("_qtext", "n_chars_q", "n_tokens",
+                         "mean_token_len", "punct_ratio",
+                         "stopword_ratio"))
+    return deduped.drop("_content_hash")

@@ -51,3 +51,40 @@ def test_stream_quality_gate_stateless(spark, tmp_path):
     run_stream_to_memory(out, "quality_stream")
     got = spark.sql("SELECT doc_id FROM quality_stream").toPandas()
     assert list(got["doc_id"]) == [1]  # punctuation soup filtered
+
+
+def test_stream_clean_pipeline_e2e(spark, tmp_path):
+    """Streaming twin of the batch training pipeline: boilerplate lines
+    removed, PII scrubbed, exact dups dropped within the watermark, all
+    in one streaming plan."""
+    import datetime as dt
+    import pandas as pd
+    from outliertree_spark.streaming.validate import (run_stream_to_memory,
+                                                      stream_clean_pipeline)
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    boiler_line = "cookie banner accept all rights"
+    rows = [
+        (1, t0, f"real content about apples\n{boiler_line}"),
+        (2, t0, f"{boiler_line}\ncontact me user@example.com today"),
+        (3, t0, f"real content about apples\n{boiler_line}"),  # dup of 1
+        (4, t0, "totally unique document body here"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+    src = str(tmp_path / "stream_clean")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema("doc_id long, ts timestamp, text string")
+              .parquet(src))
+    out = stream_clean_pipeline(stream, "ts", [boiler_line])
+    run_stream_to_memory(out, "clean_pipe")
+    got = spark.sql("SELECT * FROM clean_pipe").toPandas()
+    # dup of doc 1/3 collapsed to ONE survivor (either id — the
+    # within-batch survivor is not pinned); docs 2 and 4 survive
+    assert len(got) == 3
+    assert len({1, 3} & set(got.doc_id)) == 1
+    by_id = got.set_index("doc_id")
+    surv = ({1, 3} & set(got.doc_id)).pop()
+    assert by_id.loc[surv, "clean_text"] == "real content about apples"
+    assert "<EMAIL>" in by_id.loc[2, "_scrubbed"]
+    assert boiler_line not in by_id.loc[2, "clean_text"]
