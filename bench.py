@@ -274,7 +274,7 @@ def run_pruned_ladder(eng, pruned_docs: int) -> dict:
     # otherwise hit one level only and fake any efficiency from 0.5 to
     # 1.6 (both observed)
     best = {LOW_PAR: float("inf"), CPUS: float("inf")}
-    for _ in range(2):
+    for _ in range(3):
         for par in (LOW_PAR, CPUS):
             spark = make_session(par, aqe=False)
             feat = (spark.read.parquet(path)
