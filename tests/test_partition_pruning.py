@@ -42,3 +42,33 @@ def test_partition_prune_expr_skips_clean_partitions(spark, tmp_path):
     # and the planted rows are still reachable through the pruned scan
     viols = eng.predict(pruned, id_cols=["id"]).toPandas()
     assert {5, 6} <= set(viols["id"])
+
+
+def test_validation_layout_prunes_text_from_scan(spark, tmp_path):
+    """The stored-feature layout: validation reads must not decode the
+    text bytes (ReadSchema excludes text), and the stored text_len
+    equals the derived one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from outliertree_spark.sources.docs import (read_validation_layout,
+                                                write_validation_layout)
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100),
+        "text": [f"text number {i} " + "x" * (i % 17) for i in range(100)],
+        "lang": ["en"] * 100}))
+    path = str(tmp_path / "val_layout.parquet")
+    write_validation_layout(docs, path, n_files=4)
+
+    feat = read_validation_layout(spark, path)
+    assert "text" not in feat.columns and "text_len" in feat.columns
+    plan = feat._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text_len" in scan_line
+    assert "text:string" not in scan_line  # the bytes stay on disk
+
+    # stored feature equals the derived one
+    derived = docs.select("doc_id",
+                          F.length("text").cast("double").alias("d"))
+    j = feat.join(derived, "doc_id")
+    assert j.filter(F.col("text_len") != F.col("d")).count() == 0
