@@ -1,0 +1,61 @@
+"""Property-based checks (hypothesis) for the row-local text/URL/sample
+operators — properties that unit fixtures can't sweep."""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_url_part = st.text(
+    alphabet="abcXYZ019.-_~", min_size=0, max_size=12)
+
+
+def _mk_urls(parts):
+    urls = []
+    for scheme, host, path, q, frag in parts:
+        urls.append(f"{scheme}://{host}.example{path}?{q}#{frag}")
+        urls.append(f"{host}.example{path}#{frag}")  # scheme-less branch
+    return urls
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["http", "HTTP", "https", "hTTpS"]),
+                          _url_part.filter(lambda s: s and "." not in s),
+                          st.sampled_from(["", "/p/x", "/a/b/"]),
+                          st.sampled_from(["", "a=1&b=2", "utm_source=x",
+                                           "b=2&a=1&utm_medium=m"]),
+                          st.sampled_from(["", "sec"])),
+                min_size=1, max_size=6))
+def test_canonicalize_url_idempotent(spark, parts):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point, or dedup keys drift when data is
+    re-processed."""
+    from outliertree_spark.operators.webtext import canonicalize_url
+    urls = _mk_urls(parts)
+    df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+    once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+    twice = once.select(F.col("c1"),
+                        canonicalize_url(F.col("c1")).alias("c2"))
+    bad = twice.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=2, max_value=500),
+       st.sampled_from([0.1, 0.3, 0.7]))
+def test_hash_sample_deterministic_and_nested(spark, n, rate):
+    """Two invariants of key-hash sampling: the same call returns the
+    same rows, and a smaller rate's sample is a SUBSET of a larger
+    rate's (nested samples — what makes re-sampling at a new rate safe
+    mid-pipeline)."""
+    from outliertree_spark.operators.sampling import hash_sample
+    df = spark.range(n).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, rate, "k").collect()}
+    b = {r.k for r in hash_sample(df, rate, "k").collect()}
+    assert a == b
+    smaller = {r.k for r in hash_sample(df, rate / 2, "k").collect()}
+    assert smaller <= a
