@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..colref import qcol
+
 
 def uniqueness_violations(df: DataFrame, key_cols: list[str] | str,
                           n_salts: int = 64) -> DataFrame:
@@ -30,10 +32,10 @@ def uniqueness_violations(df: DataFrame, key_cols: list[str] | str,
     if isinstance(key_cols, str):
         key_cols = [key_cols]
     salt = (F.spark_partition_id() % n_salts).alias("_salt")
-    phase1 = (df.select(*key_cols, salt)
-                .groupBy(*key_cols, "_salt")
+    phase1 = (df.select(*[qcol(c) for c in key_cols], salt)
+                .groupBy(*[qcol(c) for c in key_cols], "_salt")
                 .agg(F.count(F.lit(1)).alias("_cnt")))
-    return (phase1.groupBy(*key_cols)
+    return (phase1.groupBy(*[qcol(c) for c in key_cols])
             .agg(F.sum("_cnt").alias("n_dups"))
             .filter(F.col("n_dups") > 1))
 
@@ -45,14 +47,14 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
 
     ``broadcast_parent=True`` for dimension-sized parents skips the
     shuffle entirely; otherwise AQE's skew-join handling applies."""
-    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
+    p = parent.select(qcol(parent_key).alias(child_key)).distinct()
     if broadcast_parent:
         p = F.broadcast(p)
     return child.join(p, on=child_key, how="left_anti")
 
 
 def _histogram(df: DataFrame, col: str, bucket_expr=None) -> DataFrame:
-    e = bucket_expr if bucket_expr is not None else F.col(col)
+    e = bucket_expr if bucket_expr is not None else qcol(col)
     return (df.select(e.alias("bucket"))
               .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
@@ -90,7 +92,7 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
 def timestamp_range_violations(df: DataFrame, ts_col: str,
                                lo: str, hi: str) -> DataFrame:
     """Rows whose timestamp falls outside [lo, hi) or is NULL."""
-    c = F.col(ts_col)
+    c = qcol(ts_col)
     return df.filter(c.isNull() | (c < F.lit(lo)) | (c >= F.lit(hi)))
 
 
@@ -102,20 +104,21 @@ def group_bound_violations(df: DataFrame, group_cols: list[str], value_col: str,
     (misc.cpp:178-204: mean/SD of the IQR interior, SD inflated x2.5);
     otherwise plain mean/stddev.  Partial aggregation happens map-side;
     the stats table is broadcast back for the final filter."""
-    v = F.col(value_col)
+    v = qcol(value_col)
     if robust:
-        stats = df.groupBy(*group_cols).agg(
-            F.percentile_approx(value_col, 0.25).alias("_q1"),
-            F.percentile_approx(value_col, 0.75).alias("_q3"))
+        stats = df.groupBy(*[qcol(g) for g in group_cols]).agg(
+            F.percentile_approx(qcol(value_col), 0.25).alias("_q1"),
+            F.percentile_approx(qcol(value_col), 0.75).alias("_q3"))
         j = df.join(F.broadcast(stats), group_cols)
         core = j.filter((v >= F.col("_q1")) & (v <= F.col("_q3")))
-        cstats = core.groupBy(*group_cols).agg(
-            F.avg(value_col).alias("_mu"),
-            (F.stddev_samp(value_col) * 2.5).alias("_sd"))
+        cstats = core.groupBy(*[qcol(g) for g in group_cols]).agg(
+            F.avg(qcol(value_col)).alias("_mu"),
+            (F.stddev_samp(qcol(value_col)) * 2.5).alias("_sd"))
         out = df.join(F.broadcast(cstats), group_cols)
     else:
-        stats = df.groupBy(*group_cols).agg(
-            F.avg(value_col).alias("_mu"), F.stddev_samp(value_col).alias("_sd"))
+        stats = df.groupBy(*[qcol(g) for g in group_cols]).agg(
+            F.avg(qcol(value_col)).alias("_mu"),
+            F.stddev_samp(qcol(value_col)).alias("_sd"))
         out = df.join(F.broadcast(stats), group_cols)
     return (out.filter(F.abs(v - F.col("_mu")) > F.lit(z) * F.col("_sd"))
                .drop("_mu", "_sd", "_q1", "_q3"))
@@ -140,21 +143,24 @@ def uniqueness_screen(df: DataFrame, cols: list[str],
     exact twin; switch it off at scale where exact distinct is the very
     cost being avoided."""
     aggs = []
-    for c in cols:
-        aggs.append(F.count(c).alias(f"_n_{c}"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_ad_{c}"))
+    for i, c in enumerate(cols):
+        # positional internal aliases: embedding the user column name
+        # would re-introduce dot-parsing on the reference below
+        aggs.append(F.count(qcol(c)).alias(f"_n_{i}"))
+        aggs.append(F.approx_count_distinct(qcol(c), rsd)
+                    .alias(f"_ad_{i}"))
         if with_exact:
-            aggs.append(F.countDistinct(c).alias(f"_ed_{c}"))
+            aggs.append(F.countDistinct(qcol(c)).alias(f"_ed_{i}"))
     row = df.agg(*aggs)
     fields = []
-    for c in cols:
+    for i, c in enumerate(cols):
         f = [F.lit(c).alias("column"),
-             F.col(f"_n_{c}").alias("n_rows"),
-             F.col(f"_ad_{c}").alias("approx_distinct")]
+             F.col(f"_n_{i}").alias("n_rows"),
+             F.col(f"_ad_{i}").alias("approx_distinct")]
         if with_exact:
-            f.append(F.col(f"_ed_{c}").alias("n_distinct"))
-            f.append((F.abs(F.col(f"_ad_{c}") - F.col(f"_ed_{c}"))
-                      <= 3 * rsd * F.col(f"_ed_{c}")).alias("approx_ok"))
+            f.append(F.col(f"_ed_{i}").alias("n_distinct"))
+            f.append((F.abs(F.col(f"_ad_{i}") - F.col(f"_ed_{i}"))
+                      <= 3 * rsd * F.col(f"_ed_{i}")).alias("approx_ok"))
         fields.append(F.struct(*f))
     return (row.select(F.explode(F.array(*fields)).alias("_s"))
                .select("_s.*"))

@@ -287,3 +287,30 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_checks_accept_dotted_column_names(spark):
+    """Round-3 qcol sweep: uniqueness / referential / screen / bounds
+    work on R-style dotted column names without struct-path misparses."""
+    from outliertree_spark.operators.checks import (group_bound_violations,
+                                                    referential_orphans,
+                                                    uniqueness_screen,
+                                                    uniqueness_violations)
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (2, "b", 3.0), (3, "b", 100.0)],
+        ["id.key", "grp.name", "val.x"])
+    dup = uniqueness_violations(df, "id.key").collect()
+    assert [(r["id.key"], r["n_dups"]) for r in dup] == [(2, 2)]
+
+    parent = spark.createDataFrame([(1,), (2,)], ["p.key"])
+    orph = referential_orphans(df, parent, "id.key", "p.key")
+    assert {r["id.key"] for r in orph.collect()} == {3}
+
+    scr = {r["column"]: r for r in
+           uniqueness_screen(df, ["id.key", "grp.name"]).collect()}
+    assert scr["id.key"]["n_distinct"] == 3
+    assert scr["grp.name"]["n_distinct"] == 2
+
+    gb = group_bound_violations(df, ["grp.name"], "val.x", z=1.0,
+                                robust=False)
+    assert gb.count() >= 0  # plan resolves; no struct-path error
