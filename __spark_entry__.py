@@ -604,22 +604,6 @@ def q_simhash_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-def q_ann_lsh(spark, sf_dir):
-    """Banded-LSH approximate top-k.  Rows-only by design: true top-k
-    neighbors of random vectors sit at LOW cosine where any honest LSH
-    has partial recall; quality is gated by the ORACLED queries
-    q_ann_recall (planted high-cosine near-dups) and q_ann_topk_recall
-    (low-cosine recall@10 bounds vs brute force, round 3) plus the
-    pytest recall-vs-bruteforce bound."""
-    from outliertree_spark.operators.similarity import lsh_topk
-    emb = _tbl(spark, sf_dir, "embeddings")
-    q = (emb.filter(F.col("vec_id") < 5)
-            .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = lsh_topk(emb, q, k=3)
-    return out.select("query_id", "neighbor_id",
-                      F.round("cosine", 4).alias("cosine"), "rank")
-
-
 def q_fingerprints(spark, sf_dir):
     """md5 fingerprint of whitespace-normalized text (DuckDB-oracleable).
     The xxhash64 variant (operators/text.py fingerprint) is the scale
@@ -682,7 +666,10 @@ def q_ann_topk_recall(spark, sf_dir):
     """Low-cosine ANN quality oracle (round 3): recall@10 of lsh_topk and
     ivf_topk vs exact brute force for 20 natural queries whose true
     neighbors sit at cosine ~0.35-0.55 — the hard regime q_ann_recall's
-    planted ~0.97 pairs never exercise.  Per query the output carries the
+    planted ~0.97 pairs never exercise.  This entry subsumes the former
+    rows-only `ann_lsh` query (deleted round 4): lsh_topk itself runs
+    here under a real oracle instead of an unchecked row dump.  Per
+    query the output carries the
     exact top-1 neighbor (DuckDB recomputes id + cosine bit-for-bit) and
     two boolean recall-bound gates; the oracle expects all-true, so any
     recall regression below the bound flips a boolean and fails the
@@ -898,7 +885,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_hosts": q_orphan_hosts,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
-        "ann_lsh": q_ann_lsh,
     }
 
 

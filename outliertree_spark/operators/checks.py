@@ -69,7 +69,7 @@ def distribution_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     ``floor(col / width) * width``."""
     if numeric_bucket_width is not None:
         w = float(numeric_bucket_width)
-        be = (F.floor(F.col(col) / w) * w).cast("double")
+        be = (F.floor(qcol(col) / w) * w).cast("double")
     else:
         be = None
     ha = _histogram(df_a, col, be).withColumnRenamed("n", "n_a")

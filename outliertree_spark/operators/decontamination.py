@@ -24,24 +24,34 @@ def ngram_hashes(text_col: str = "text", n: int = 8,
     ``md5_60`` (first 15 md5 hex chars as a 60-bit int;
     DuckDB-reproducible), ``raw`` (the gram STRING itself: trivially
     DuckDB-reproducible, no hash cost; broadcast set ~6x larger).
-    ``arith`` (rolling modular combine of per-token hashes in a ~2^40
-    prime space — no gram STRING is ever built, the fastest form; gram
-    membership identical to ``raw`` absent collisions, phantom-hit
-    probability ~ |doc grams| x |bench grams| / 2^40 ~ 4e-7 per doc).
+    ``xx_chain`` (rolling ``xxhash64(acc, next_token_hash)`` combine —
+    no gram STRING is ever built AND the IDs live in the full 2^64
+    space, phantom-hit probability ~ |doc grams| x |bench grams| / 2^64
+    ~ 2e-14 per doc, negligible even at the 10^12-doc target; THE SCALE
+    DEFAULT for hashed grams).  ``arith`` (rolling modular combine of
+    per-token hashes in a ~2^40 prime space — gram membership identical
+    to ``raw`` absent collisions, but phantom-hit probability ~ 4e-7
+    per doc means ~4e5 docs falsely dropped at 10^12 docs: BENCH/ORACLE
+    USE ONLY, do not ship at scale).
     Measured at sf0.1: flavor sweep raw 5.0s / md5_60 5.7s / xxhash64
     8.2s (round 2 harness); on the bench query the ``arith`` swap reads
-    1.9s where ``raw`` read 3.0s (round 3).  Docs shorter than n tokens
-    yield an empty array."""
+    1.9s where ``raw`` read 3.0s (round 3); ``xx_chain`` measures within
+    noise of ``arith`` (round 4 — both are string-free rolling
+    combines).  Docs shorter than n tokens yield an empty array."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     cnt = F.size(toks)
-    if token_hash == "arith":
-        M = F.lit(1099511627689)  # prime just under 2^40
-        ha = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), M))
+    if token_hash in ("arith", "xx_chain"):
+        if token_hash == "arith":
+            M = F.lit(1099511627689)  # prime just under 2^40
+            ha = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), M))
+            comb = lambda a, b: F.pmod(a * F.lit(1000003) + b, M)  # noqa: E731
+        else:
+            ha = F.transform(toks, lambda t: F.xxhash64(t))
+            comb = lambda a, b: F.xxhash64(a, b)  # noqa: E731
         m = cnt - n + 1
         acc = F.slice(ha, 1, m)
         for j in range(1, n):
-            acc = F.zip_with(acc, F.slice(ha, 1 + j, m),
-                             lambda a, b: F.pmod(a * F.lit(1000003) + b, M))
+            acc = F.zip_with(acc, F.slice(ha, 1 + j, m), comb)
         return F.when(cnt >= n, F.array_distinct(acc)) \
                 .otherwise(F.array().cast("array<long>"))
     idx = F.sequence(F.lit(0), cnt - n)

@@ -212,12 +212,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashes.
 
     One exploded pass: tokens explode WITHIN the partition, the group-by
-    packs the per-bit counters 3-to-a-long (16-bit fields), so a single
-    codegen'd hash aggregate carries ``bits/3`` sum buffers and the
-    exchange ``bits/3`` longs per doc.  The round-1 form evaluated 64
+    packs the per-bit counters 2-to-a-long (32-bit fields), so a single
+    codegen'd hash aggregate carries ``bits/2`` sum buffers and the
+    exchange ``bits/2`` longs per doc.  The round-1 form evaluated 64
     interpreted ``size(filter(array))`` higher-order expressions per row
     (~16s at sf0.1); round 2's 64 conditional sums cut that ~8x; the
-    packed form shaves another ~25% off the aggregate stage.
+    packed form shaves more off the aggregate stage.  32-bit fields are
+    overflow-proof for any Spark-representable document (see inline
+    arithmetic below); the earlier 16-bit packing was not.
 
     ``token_hash``: "xxhash64" (64-bit, fastest — the scale default) or
     "md5_60" (60-bit from the first 15 hex chars of md5 — bit-for-bit
@@ -234,13 +236,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ex = ex.withColumn("_h", F.xxhash64("_tok"))
     masks = [(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).cast("long")
              for i in range(bits)]
-    # Pack 3 per-bit counters into 16-bit fields of one long, so the
-    # hash aggregate carries bits/3 sum buffers instead of one per bit
-    # (60 -> 20 slots; measured 1.78s -> 1.31s at sf0.1, outputs
-    # bit-identical).  16-bit fields hold counts up to 65535 distinct
-    # tokens per doc; 3 fields per long keeps the packed sum under 2^49,
-    # far from signed overflow under ANSI mode.
-    fields_per_long = 3
+    # Pack 2 per-bit counters into 32-bit fields of one long, so the
+    # hash aggregate carries bits/2 sum buffers instead of one per bit
+    # (60 -> 30 slots; the round-3 3x16-bit packing was faster still but
+    # silently corrupted the hash for docs with >65535 distinct tokens —
+    # real in a 100TB web corpus).  A 32-bit field cannot overflow for
+    # any document Spark can hold: strings cap at 2GB, so distinct
+    # tokens per doc < 2^31 < 2^32 (no carry into the high field), and
+    # the packed sum stays < 2^31 * 2^32 = 2^63 (no signed overflow
+    # under ANSI mode).  Correct by arithmetic, no runtime guard needed.
+    fields_per_long = 2
+    field_bits = 32
     n_longs = (bits + fields_per_long - 1) // fields_per_long
     aggs = [F.count("_h").alias("_n")]
     for j in range(n_longs):
@@ -251,15 +257,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 break
             t = (F.shiftrightunsigned(F.col("_h"), i)
                   .bitwiseAND(F.lit(1)).cast("long")
-                 * F.lit(1 << (16 * f)).cast("long"))
+                 * F.lit(1 << (field_bits * f)).cast("long"))
             terms = t if terms is None else terms + t
         aggs.append(F.sum(terms).alias(f"_p{j}"))
     g = ex.groupBy(id_col).agg(*aggs)
     sh = F.lit(0).cast("long")
     for i in range(bits):
         j, f = i // fields_per_long, i % fields_per_long
-        cnt = (F.shiftrightunsigned(F.col(f"_p{j}"), 16 * f)
-                .bitwiseAND(F.lit(0xFFFF)))
+        cnt = (F.shiftrightunsigned(F.col(f"_p{j}"), field_bits * f)
+                .bitwiseAND(F.lit(0xFFFFFFFF)))
         sh = sh.bitwiseOR(
             F.when(cnt * 2 >= F.col("_n"), masks[i])
              .otherwise(F.lit(0).cast("long")))

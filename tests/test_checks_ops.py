@@ -314,3 +314,14 @@ def test_checks_accept_dotted_column_names(spark):
     gb = group_bound_violations(df, ["grp.name"], "val.x", z=1.0,
                                 robust=False)
     assert gb.count() >= 0  # plan resolves; no struct-path error
+
+    # round-4: the numeric-bucket drift branch was the one spot still
+    # using bare F.col (checks.py numeric_bucket_width path)
+    from outliertree_spark.operators.checks import distribution_drift
+    dr = distribution_drift(df, df, "val.x", numeric_bucket_width=10.0)
+    rows = {r["bucket"]: r for r in dr.collect()}
+    assert set(rows) == {0.0, 100.0}          # floor(val/10)*10 buckets
+    assert all(abs(r["psi"]) < 1e-12 for r in rows.values())  # self-drift
+    # categorical branch on a dotted name too
+    drc = distribution_drift(df, df, "grp.name")
+    assert {r["bucket"] for r in drc.collect()} == {"a", "b"}

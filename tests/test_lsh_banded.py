@@ -95,6 +95,33 @@ def test_simhash_md5_matches_xxhash_semantics(spark):
     assert all(0 <= r.simhash < (1 << 60) for r in sh60)
 
 
+def test_simhash_correct_past_65k_distinct_tokens(spark):
+    """Round-4 overflow regression (ADVICE): the 3x16-bit counter packing
+    silently carried into the adjacent bit's counter for docs with
+    >65535 distinct tokens.  The 2x32-bit packing is overflow-proof for
+    any Spark-representable string; verify against an independent
+    Python md5 recomputation on a 70_000-distinct-token doc."""
+    import hashlib
+
+    from outliertree_spark.operators.dedup import simhash
+
+    n_tok = 70_000
+    toks = [f"t{i:05d}" for i in range(n_tok)]
+    d = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = simhash(d, bits=60, token_hash="md5_60").collect()[0].simhash
+
+    counts = [0] * 60
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for i in range(60):
+            counts[i] += (h >> i) & 1
+    expect = 0
+    for i in range(60):
+        if counts[i] * 2 >= n_tok:
+            expect |= 1 << i
+    assert got == expect
+
+
 def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):
     """The minhash signature plan must not shuffle the tokenized corpus:
     no Window, and no Exchange below the partial aggregate (the only

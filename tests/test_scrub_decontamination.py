@@ -77,12 +77,13 @@ def test_contamination_flavors_agree(spark):
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     outs = {}
-    for flavor in ("xxhash64", "md5_60", "raw"):
+    for flavor in ("xxhash64", "md5_60", "raw", "arith", "xx_chain"):
         outs[flavor] = sorted(
             (r.doc_id, r.n_grams, r.n_contaminated, r.contaminated)
             for r in contamination_scores(train, bench, n=5,
                                           token_hash=flavor).collect())
-    assert outs["xxhash64"] == outs["md5_60"] == outs["raw"]
+    assert (outs["xxhash64"] == outs["md5_60"] == outs["raw"]
+            == outs["arith"] == outs["xx_chain"])
 
 
 def test_contamination_plan_broadcasts_benchmark(spark):
