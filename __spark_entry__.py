@@ -576,8 +576,78 @@ def q_outlier_validate(spark, sf_dir):
     not SQL-expressible; correctness is instead guaranteed by exact
     differential parity against the compiled reference C++ core
     (tests/test_reference_parity.py: flagged rows, scores, depths and
-    cluster bounds, 10 seeded cases per pytest run)."""
+    cluster bounds, 10 seeded cases per pytest run).  The depth-0
+    (root-cluster) slice IS SQL-expressible and carries a full DuckDB
+    oracle — see q_outlier_validate_root."""
     return _flagship(spark, sf_dir)
+
+
+def _root_frame(spark, sf_dir):
+    """Hash-free planted fixture for the depth-0 oracle: every derivation
+    is reproducible in DuckDB (no xxhash64).  text_len gets 5 low-tail
+    (doc_id%89) and 5 high-tail (doc_id%97) planted extremes; warc_ts is
+    a deterministic timestamp in a 30-day window with 3 planted
+    out-of-window rows (doc_id%127); lang rides along as the categorical
+    target (the C6 tot>=1000 gate correctly yields zero flags at
+    sf0.01's 500 docs, and the oracle pins that)."""
+    d = _docs(spark, sf_dir)
+    tlen = F.length("text").cast("double")
+    text_len = (
+        F.when((F.col("doc_id") % 97 == 0) & (F.col("doc_id") > 0),
+               tlen + 40000.0)
+         .when((F.col("doc_id") % 89 == 0) & (F.col("doc_id") > 0),
+               -tlen - 50000.0)
+         .otherwise(tlen))
+    late = F.when((F.col("doc_id") % 127 == 0) & (F.col("doc_id") > 0),
+                  F.lit(400 * 24 * 3600)).otherwise(F.lit(0))
+    warc_ts = F.timestamp_seconds(
+        F.lit(1704067200) + (F.col("doc_id") * 7919) % (30 * 24 * 3600)
+        + late)
+    return d.select("doc_id", text_len.alias("text_len"),
+                    warc_ts.alias("warc_ts"), "lang")
+
+
+def q_outlier_validate_root(spark, sf_dir):
+    """Depth-0 (root-cluster) outlier validation with a FULL DuckDB
+    oracle — the SQL-expressible slice of the conditioning-tree engine.
+
+    Covers define_numerical_cluster's untransformed path end-to-end
+    (/root/reference/src/clusters.cpp:108-446): trimmed-interior
+    mean/SD with tail allowance n*p + 2*sqrt(n*p*(1-p)) + 1
+    (outlier_tree.hpp:727), SD inflation for the removed tails, the
+    z_outlier precondition, the min-gap scan with its early-break
+    semantics on BOTH tails (scan width capped at ceil(log2(n))),
+    lower/upper limit construction, and the 1/z^2 Chebyshev score
+    (outlier_tree.hpp:729) — on a numeric AND a timestamp target
+    (timestamps fit in encoded seconds, ts_min = min-1, and report
+    epoch-space values/bounds).  The categorical target goes through
+    the C6 no-cond rule (cat_outlier.cpp:285-328), whose tot>=1000
+    gate yields zero lang rows at sf0.01 — the oracle computes the same
+    gates, so a gate regression flips the hash.  The tree-conditioned
+    (depth>0) case stays rows-only in q_outlier_validate, backed by
+    differential parity with the compiled reference core."""
+    from outliertree_spark import SparkOutlierTree, ValidationConfig
+
+    df = _root_frame(spark, sf_dir)
+    eng = SparkOutlierTree(ValidationConfig(max_depth=0))
+    eng.fit(df, id_cols=["doc_id"])
+    rows = []
+    for cm in eng.model_["columns"]:
+        if cm["kind"] != "numeric" or not cm["clusters"]:
+            continue
+        cl = cm["clusters"][0]
+        off = float(cm["ts_min"]) if cm.get("is_ts") else 0.0
+        rows.append((cm["name"], cl["lower_lim"] + off, cl["upper_lim"] + off))
+    dim = spark.createDataFrame(
+        rows, "suspicious_column string, lo double, hi double")
+    pv = eng.predict(df, id_cols=["doc_id"])
+    return (pv.join(F.broadcast(dim), "suspicious_column", "left")
+              .select("doc_id", "suspicious_column",
+                      F.round("suspicious_value_num", 4).alias("value_num"),
+                      F.round("outlier_score", 10).alias("outlier_score"),
+                      F.round("lo", 4).alias("lower_lim"),
+                      F.round("hi", 4).alias("upper_lim"))
+              .orderBy("doc_id", "suspicious_column"))
 
 
 def q_minhash_dups(spark, sf_dir):
@@ -883,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "hot_domains": q_hot_domains,
         "orphan_hosts": q_orphan_hosts,
+        "outlier_validate_root": q_outlier_validate_root,
         # rows-only (non-SQL-expressible; see each docstring)
         "outlier_validate": q_outlier_validate,
     }
@@ -1745,5 +1816,148 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain FROM d
             WHERE domain NOT IN (SELECT domain FROM allow)
             ORDER BY doc_id
+        """,
+        # depth-0 root-cluster twin of the conditioning-tree engine:
+        # trimmed-interior mean/SD (tail allowance n*p+2*sqrt(np(1-p))+1,
+        # clusters.cpp:108-226), SD inflation, z_outlier precondition,
+        # min-gap scans with early-break on both tails (width capped at
+        # ceil(log2 n)), limit construction, 1/z^2 scores; timestamps in
+        # encoded seconds (ts_min = min-1) reported in epoch space; C6
+        # rare-category gates on lang (cat_outlier.cpp:285-328).
+        "outlier_validate_root": r"""
+            WITH
+            tl AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 AND doc_id > 0
+                            THEN length(text) + 40000.0
+                          WHEN doc_id % 89 = 0 AND doc_id > 0
+                            THEN -length(text) - 50000.0
+                          ELSE CAST(length(text) AS DOUBLE) END AS v
+              FROM documents),
+            tsraw AS (
+              SELECT doc_id,
+                     CAST(1704067200 + (doc_id * 7919) % 2592000
+                          + CASE WHEN doc_id % 127 = 0 AND doc_id > 0
+                                 THEN 34560000 ELSE 0 END AS DOUBLE) AS epoch
+              FROM documents),
+            tsmin AS (SELECT min(epoch) - 1.0 AS ts_min FROM tsraw),
+            vals AS (
+              SELECT 'text_len' AS col, doc_id, v, v AS disp, 0.0 AS off
+              FROM tl WHERE v IS NOT NULL
+              UNION ALL
+              SELECT 'warc_ts', t.doc_id, t.epoch - m.ts_min, t.epoch,
+                     m.ts_min
+              FROM tsraw t, tsmin m),
+            ord_v AS (
+              SELECT col, doc_id, v, disp, off,
+                     row_number() OVER (PARTITION BY col
+                                        ORDER BY v, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY col) AS n
+              FROM vals),
+            par AS (
+              SELECT col, n,
+                     CAST(floor(n*0.01 + 2*sqrt(n*0.01*0.99) + 1)
+                          AS BIGINT) AS tail0
+              FROM ord_v GROUP BY col, n),
+            trimmed AS (
+              SELECT o.col, avg(o.v) AS mu, stddev_samp(o.v) AS sd0,
+                     count(*) AS cnt
+              FROM ord_v o JOIN par p USING (col)
+              WHERE o.rn > p.tail0 AND o.rn <= p.n - p.tail0
+              GROUP BY o.col),
+            stats AS (
+              SELECT p.col, p.n, p.tail0,
+                     LEAST(p.tail0,
+                           CAST(ceil(log2(p.n)) AS BIGINT)) AS tail_eff,
+                     t.mu,
+                     t.sd0 * (t.cnt + 3 * p.tail0) / (t.cnt + p.tail0)
+                       AS sd
+              FROM par p JOIN trimmed t USING (col)),
+            zz AS (
+              SELECT o.col, o.doc_id, o.v, o.disp, o.off, o.rn, s.n,
+                     s.tail_eff, s.mu, s.sd,
+                     (o.v - s.mu) / s.sd AS z,
+                     lead((o.v - s.mu) / s.sd) OVER w AS z_next,
+                     lag((o.v - s.mu) / s.sd)  OVER w AS z_prev
+              FROM ord_v o JOIN stats s USING (col)
+              WINDOW w AS (PARTITION BY o.col ORDER BY o.rn)),
+            lowscan AS (
+              SELECT col,
+                     min(CASE WHEN z_next - z >= (8.0 - 2.67)
+                              THEN rn END) AS first_gap,
+                     min(CASE WHEN z > -8.0 THEN rn END) AS first_brk
+              FROM zz WHERE rn <= tail_eff GROUP BY col),
+            highscan AS (
+              SELECT col,
+                     max(CASE WHEN z - z_prev >= (8.0 - 2.67)
+                              THEN rn END) AS last_gap,
+                     max(CASE WHEN z < 8.0 THEN rn END) AS last_brk
+              FROM zz WHERE rn >= n - tail_eff + 1 GROUP BY col),
+            edges AS (
+              SELECT col,
+                     min(CASE WHEN rn = 1 THEN z END) AS z_first,
+                     max(CASE WHEN rn = n THEN z END) AS z_last
+              FROM zz GROUP BY col),
+            cuts AS (
+              SELECT s.col, s.n, s.mu, s.sd,
+                     CASE WHEN e.z_first <= -8.0 AND l.first_gap IS NOT NULL
+                               AND (l.first_brk IS NULL
+                                    OR l.first_gap <= l.first_brk)
+                          THEN l.first_gap ELSE 0 END AS st,
+                     CASE WHEN e.z_last >= 8.0 AND h.last_gap IS NOT NULL
+                               AND h.last_gap >= 3
+                               AND (h.last_brk IS NULL
+                                    OR h.last_gap >= h.last_brk)
+                          THEN h.last_gap ELSE 0 END AS endrn
+              FROM stats s
+              JOIN lowscan l USING (col) JOIN highscan h USING (col)
+              JOIN edges e USING (col)),
+            lims AS (
+              SELECT c.col, c.st, c.endrn,
+                     (SELECT o.v FROM ord_v o WHERE o.col = c.col
+                        AND o.rn = CASE WHEN c.st > 0 THEN c.st + 1
+                                        ELSE 1 END)
+                       - (8.0 - 2.67) * c.sd AS lower_lim,
+                     (SELECT o.v FROM ord_v o WHERE o.col = c.col
+                        AND o.rn = CASE WHEN c.endrn > 0 THEN c.endrn - 1
+                                        ELSE c.n END)
+                       + (8.0 - 2.67) * c.sd AS upper_lim
+              FROM cuts c),
+            num_flagged AS (
+              SELECT z.doc_id, z.col AS suspicious_column,
+                     round(z.disp, 4) AS value_num,
+                     round(1.0 / GREATEST(z.z * z.z, 1.0), 10)
+                       AS outlier_score,
+                     round(l.lower_lim + z.off, 4) AS lower_lim,
+                     round(l.upper_lim + z.off, 4) AS upper_lim
+              FROM zz z JOIN lims l ON z.col = l.col
+              WHERE (l.st > 0 AND z.rn <= l.st)
+                 OR (l.endrn > 0 AND z.rn >= l.endrn)),
+            lc AS (SELECT lang, count(*) AS c FROM documents
+                   GROUP BY lang),
+            lp AS (SELECT CASE WHEN sum(c) < 10000 THEN 1
+                               WHEN sum(c) < 100000 THEN 2
+                               ELSE 3 END AS max_out,
+                          sum(c) AS tot
+                   FROM lc),
+            lrare AS (SELECT lang, c FROM lc, lp WHERE c <= max_out),
+            cat_flagged AS (
+              SELECT d.doc_id, 'lang' AS suspicious_column,
+                     CAST(NULL AS DOUBLE) AS value_num,
+                     round(r.c / CAST(p.tot AS DOUBLE)
+                           + sqrt((r.c / CAST(p.tot AS DOUBLE))
+                                  * (1 - r.c / CAST(p.tot AS DOUBLE))
+                                  / p.tot), 10) AS outlier_score,
+                     CAST(NULL AS DOUBLE) AS lower_lim,
+                     CAST(NULL AS DOUBLE) AS upper_lim
+              FROM documents d JOIN lrare r ON d.lang = r.lang, lp p
+              WHERE p.tot >= 1000
+                AND (SELECT count(*) FROM lc, lp
+                     WHERE c > max_out AND c < 250) = 0
+                AND (SELECT count(*) FROM lrare) = 1)
+            SELECT * FROM num_flagged
+            UNION ALL
+            SELECT * FROM cat_flagged
+            ORDER BY doc_id, suspicious_column
         """,
     }
