@@ -43,9 +43,20 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = to_north_shape(_docs(spark, sf_dir), plant=True)
     df = (docs.withColumn("text_len", F.length("text").cast("double"))
-              .select("doc_id", "text_len", "lang", "source", "warc_ts"))
+              # ordinal derived column (round 4): routes an ordinal
+              # target/predictor through the flagship end-to-end; the
+              # ordinal split/cluster math itself is diff-proven vs the
+              # reference core (tests/test_reference_parity.py)
+              .withColumn("size_bucket",
+                          F.when(F.col("text_len") < 150, "xs")
+                           .when(F.col("text_len") < 300, "s")
+                           .when(F.col("text_len") < 450, "m")
+                           .otherwise("l"))
+              .select("doc_id", "text_len", "lang", "source", "warc_ts",
+                      "size_bucket"))
     eng = SparkOutlierTree(ValidationConfig())
-    eng.fit(df, id_cols=["doc_id"])
+    eng.fit(df, id_cols=["doc_id"],
+            ordinal_cols={"size_bucket": ["xs", "s", "m", "l"]})
     viols = eng.predict(df, id_cols=["doc_id"])
     return viols.select("doc_id", "suspicious_column", "suspicious_value",
                         "tree_depth", "uses_NA_branch",

@@ -116,6 +116,11 @@ def remove_boilerplate(df: DataFrame, boiler: list[str],
     @pandas_udf(out_schema)
     def _clean(texts: pd.Series) -> pd.DataFrame:
         cleans, removed = [], []
+        # Deliberately a Python loop: the "vectorized" alternative
+        # (Series.str.split -> explode -> isin -> groupby join) measured
+        # 5.3x SLOWER on a 5k-doc/10k-set batch (103ms vs 19ms, round 4)
+        # because explode+groupby overhead dwarfs frozenset membership,
+        # which is already C-speed per line.
         for t in texts:
             if t is None:
                 cleans.append(None)

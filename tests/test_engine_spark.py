@@ -91,6 +91,50 @@ def test_checkpoint_ledger(spark, docs_df, tmp_path):
     assert remaining.count() == 0
 
 
+def test_checkpoint_ledger_resume_mid_run(spark, docs_df, tmp_path):
+    """Round-4 (verdict): end-to-end resume.  Simulate a run killed after
+    3 of 8 partitions completed, resume against the ledger, and assert
+    (a) only the 5 unfinished partitions execute, (b) the combined
+    ledger verdicts equal an uninterrupted run's exactly."""
+    from outliertree_spark import CheckpointLedger
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+
+    # the uninterrupted reference run
+    _, full = eng.validate(docs_df, partition_col="bucket")
+    full_rows = {r["bucket"]: (r["n_rows"], r["n_violations"], r["passed"])
+                 for r in full.collect()}
+    assert len(full_rows) == 8
+
+    # interrupted run: first 3 partitions' verdicts made it to the ledger
+    done_subset = sorted(full_rows)[:3]
+    led = CheckpointLedger(str(tmp_path / "ledger.jsonl"))
+    led.record_verdicts(full.filter(F.col("bucket").isin(done_subset)),
+                        "bucket", lineage={"attempt": 1})
+    assert led.done_partitions() == set(done_subset)
+
+    # resume: the remaining frame must contain ONLY unfinished partitions
+    remaining = led.filter_remaining(docs_df, "bucket")
+    rem_parts = {r["bucket"] for r in
+                 remaining.select("bucket").distinct().collect()}
+    assert rem_parts == set(full_rows) - set(done_subset)
+    _, verd2 = eng.validate(remaining, partition_col="bucket")
+    led.record_verdicts(verd2, "bucket", lineage={"attempt": 2})
+
+    # ledger now covers every partition with verdicts identical to the
+    # uninterrupted run
+    assert led.done_partitions() == set(full_rows)
+    import json as _json
+    merged = {}
+    with open(led.path) as f:
+        for line in f:
+            e = _json.loads(line)
+            v = e["verdict"]
+            merged[e["partition"]] = (v["n_rows"], v["n_violations"],
+                                      v["passed"])
+    assert merged == full_rows
+
+
 def test_model_save_load_roundtrip(spark, docs_df, tmp_path):
     eng = SparkOutlierTree(ValidationConfig())
     eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
