@@ -269,12 +269,16 @@ def run_pruned_ladder(eng, pruned_docs: int) -> dict:
     s = make_session(LOW_PAR)
     path = materialize_pruned_docs(s, pruned_docs)
     s.stop()
-    # interleave the two levels over 2 session rounds and keep per-level
-    # minima, same as the main ladder: host-noise waves on this VM can
-    # otherwise hit one level only and fake any efficiency from 0.5 to
-    # 1.6 (both observed)
+    # interleave the two levels and keep per-level minima, same as the
+    # main ladder: host-noise waves on this VM can otherwise hit one
+    # level only and fake any efficiency from 0.5 to 1.6 (both
+    # observed).  Round 4: the ladder is gated at 200M docs so the
+    # local[CPUS] leg is a >=8s steady-state job (the round-3 0.683
+    # reading came off a 1.57s job — exactly the short-job noise
+    # BASELINE.md documents); with long jobs 2 interleave rounds span
+    # the minute-scale host waves.
     best = {LOW_PAR: float("inf"), CPUS: float("inf")}
-    for _ in range(3):
+    for _ in range(2):
         for par in (LOW_PAR, CPUS):
             spark = make_session(par, aqe=False)
             feat = (spark.read.parquet(path)
@@ -310,7 +314,7 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "repetition_scores", "extract_text", "canonical_urls",
              "decontamination", "pii_scrub", "hot_domains",
              "orphan_hosts", "url_dup_groups", "training_pipeline",
-             "ann_topk_recall"]
+             "ann_topk_recall", "outlier_validate_root"]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -405,7 +409,7 @@ def main() -> None:
 
     pruned = run_pruned_ladder(
         SparkOutlierTree.load(model_path),
-        int(os.environ.get("BENCH_PRUNED_DOCS", "40000000")))
+        int(os.environ.get("BENCH_PRUNED_DOCS", "200000000")))
 
     # the north rule gates N->4N >= 0.8: headline the WORST measured
     # N->4N pair, never the favorable one
