@@ -326,16 +326,19 @@ def q_url_dup_groups(spark, sf_dir):
 def q_decontamination(spark, sf_dir):
     """Test-set decontamination: docs sharing 5-grams with the benchmark
     slice (doc_id % 97 == 0).  Broadcast the benchmark gram set; corpus
-    never shuffles (operators/decontamination.py).  ``arith`` gram flavor
-    (round 3): rolling modular gram IDs, no gram strings built — the
-    bench query drops 3.0s -> 1.9s at sf0.1.  Per-doc counts equal the string join's absent ~2^40-space
-    collisions (none on this fixture — the oracle's string-join twin
-    stays hash-green), and all flavors are equivalence-tested."""
+    never shuffles (operators/decontamination.py).  ``xx_chain`` gram
+    flavor (round 4): rolling ``xxhash64(a,b)`` gram IDs in the full
+    2^64 space, no gram strings built — same speed as the round-3
+    ``arith`` flavor (A/B minima 1.35s vs 1.33s at sf0.1) without its
+    ~2^40 collision space, so the bench query now runs THE SCALE
+    DEFAULT.  Per-doc counts equal the string join's absent collisions
+    (none on this fixture — the oracle's string-join twin stays
+    hash-green), and all five flavors are equivalence-tested."""
     from outliertree_spark.operators.decontamination import contamination_scores
     d = _docs(spark, sf_dir)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
-    return (contamination_scores(train, bench, n=5, token_hash="arith")
+    return (contamination_scores(train, bench, n=5, token_hash="xx_chain")
             .orderBy("doc_id"))
 
 

@@ -122,6 +122,27 @@ def test_simhash_correct_past_65k_distinct_tokens(spark):
     assert got == expect
 
 
+def test_near_dup_plans_materialize_signatures_once(spark, docs):
+    """Round-4 regression: the bucket-cap count and both self-join sides
+    must read the MATERIALIZED signature table (RDD scan), never
+    recompute the exploded-token aggregate — the round-3 shape ran the
+    expensive stage up to 4x (13-exchange plans)."""
+    from outliertree_spark.operators.dedup import (minhash_lsh_candidates,
+                                                   simhash_near_dups)
+
+    sh_plan = (simhash_near_dups(docs, max_hamming=3, n_blocks=4)
+               ._jdf.queryExecution().executedPlan().toString())
+    # every signature reference is an ExistingRDD scan; the token explode
+    # (Generate over the split() array) appears nowhere downstream
+    assert sh_plan.count("Scan parquet") == 0, sh_plan
+    assert sh_plan.count("ExistingRDD") >= 3, sh_plan
+
+    mh_plan = (minhash_lsh_candidates(docs)
+               ._jdf.queryExecution().executedPlan().toString())
+    assert mh_plan.count("Scan parquet") == 0, mh_plan
+    assert mh_plan.count("ExistingRDD") >= 3, mh_plan
+
+
 def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):
     """The minhash signature plan must not shuffle the tokenized corpus:
     no Window, and no Exchange below the partial aggregate (the only
