@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _cap_buckets, banded_lsh_pairs, cosine_expr
+from .similarity import banded_lsh_pairs, bucket_pairs, cosine_expr
 
 # 2^31-1: products of two residues stay < 2^62, safe for ANSI long math
 MERSENNE = (1 << 31) - 1
@@ -159,12 +159,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     explode signatures into (band, band_hash) buckets, self-join buckets
     (cap-guarded)."""
     rows_per_band = n_hashes // n_bands
-    # signatures are referenced three times below (cap count + both join
-    # sides): materialize the N x (64 longs) table once so the shingle
-    # aggregate — the expensive stage — never recomputes (same rationale
-    # as simhash_near_dups).  Measured at sf0.1 (A/B interleaved, min of
-    # 4, through the full candidates+jaccard query): 3.50s -> 2.73s,
-    # checkpointed faster in every round.
+    # materialize the N x (64 longs) signature table; single-referenced
+    # since the round-4 bucket_pairs expansion, kept for composition
+    # safety (see simhash_near_dups).  The round-3 self-join shape
+    # recomputed the shingle aggregate per reference: 3.50s -> 2.73s at
+    # sf0.1 from materializing alone.
     sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes,
                               seed).localCheckpoint(eager=False)
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
@@ -176,14 +175,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                        F.slice(F.col("signature"),
                                F.col("band") * rows_per_band + 1, rows_per_band),
                        lambda x: x.cast("string")))))
-    b = _cap_buckets(b.select(id_col, "band", "band_hash"),
-                     ["band", "band_hash"], bucket_cap)
-    left = b.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = b.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    pairs = (left.join(right, ["band", "band_hash"])
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
-    return pairs
+    p = bucket_pairs(b.select(id_col, "band", "band_hash"),
+                     ["band", "band_hash"], [id_col], id_col, bucket_cap)
+    return (p.select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
@@ -288,15 +284,15 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     (pigeonhole: <= n_blocks-1 differing bits -> one block identical, so
     recall is EXACT for max_hamming < n_blocks), bucket-join on each
     block (cap-guarded), then exact Hamming filter."""
-    # The (id, simhash) table is referenced THREE times below (bucket-cap
-    # count + both join sides); without a materialization barrier Spark
-    # recomputes the exploded-token aggregate — the expensive stage — for
-    # each reference (round-4 plan audit found 4 full pipeline copies,
-    # 13 exchanges).  Materialize the N x 16-byte signature table once
-    # (the same table a production pipeline persists before pairing);
-    # the cheap block-explode recomputes off the materialized blocks.
-    # Measured at sf0.1 (A/B interleaved in one session, min of 4):
-    # 4.41s -> 3.34s for the full near-dup query, B < A in every round.
+    # Materialize the N x 16-byte signature table (the same table a
+    # production pipeline persists before pairing).  With the round-4
+    # bucket_pairs expansion the plan references it only once, so the
+    # checkpoint is no longer load-bearing (A/B measured a wash, deltas
+    # inside host noise both ways); it is kept because any caller that
+    # composes this result into a multi-reference plan would otherwise
+    # silently recompute the exploded-token aggregate — the round-3
+    # self-join shape did exactly that, 4 pipeline copies / 13
+    # exchanges, and cost 4.41s vs 3.34s at sf0.1.
     sh = simhash(df, id_col, text_col, bits, token_hash) \
         .localCheckpoint(eager=False)
     block_width = bits // n_blocks
@@ -307,20 +303,20 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         for i in range(n_blocks)])).alias("b")
     e = sh.select(id_col, "simhash", blocks).select(
         id_col, "simhash", F.col("b.blk"), F.col("b.key"))
-    e = _cap_buckets(e, ["blk", "key"], bucket_cap)
-    l = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
-                 "blk", "key")
-    r = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
-                 "blk", "key")
-    # hamming filter BEFORE the distinct: bit_count is a few cycles per
-    # candidate while distinct is an exchange — dropping the far misses
-    # first means the dedup shuffle carries only true near-dups (a pair
-    # colliding in several blocks is deduped after, identically)
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (l.join(r, ["blk", "key"]).filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("hamming", ham)
+    # one-exchange pair expansion (bucket_pairs) instead of the aliased
+    # self-join; hamming filter BEFORE the distinct: bit_count is a few
+    # cycles per candidate while distinct is an exchange — dropping the
+    # far misses first means the dedup shuffle carries only true
+    # near-dups (a pair colliding in several blocks is deduped after,
+    # identically)
+    p = bucket_pairs(e, ["blk", "key"], [id_col, "simhash"], id_col,
+                     bucket_cap)
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (p.withColumn("hamming", ham)
              .filter(F.col("hamming") <= max_hamming)
-             .select("id_a", "id_b", "hamming").distinct())
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"), "hamming")
+             .distinct())
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

@@ -122,25 +122,23 @@ def test_simhash_correct_past_65k_distinct_tokens(spark):
     assert got == expect
 
 
-def test_near_dup_plans_materialize_signatures_once(spark, docs):
-    """Round-4 regression: the bucket-cap count and both self-join sides
-    must read the MATERIALIZED signature table (RDD scan), never
-    recompute the exploded-token aggregate — the round-3 shape ran the
-    expensive stage up to 4x (13-exchange plans)."""
+def test_near_dup_plans_compute_signatures_once(spark, docs):
+    """Round-4 regression: pair generation must consume the signature
+    aggregate exactly once — the round-3 shape (cap-count + two aliased
+    self-join sides) recomputed the exploded-token stage up to 4x
+    (13-exchange plans).  Now: one ExistingRDD scan (the materialized
+    signature table), no parquet re-scan, and the one-exchange
+    bucket_pairs expansion keeps the whole plan at <= 3 exchanges
+    (bucket group-by + final distinct, plus the input spread)."""
     from outliertree_spark.operators.dedup import (minhash_lsh_candidates,
                                                    simhash_near_dups)
 
-    sh_plan = (simhash_near_dups(docs, max_hamming=3, n_blocks=4)
-               ._jdf.queryExecution().executedPlan().toString())
-    # every signature reference is an ExistingRDD scan; the token explode
-    # (Generate over the split() array) appears nowhere downstream
-    assert sh_plan.count("Scan parquet") == 0, sh_plan
-    assert sh_plan.count("ExistingRDD") >= 3, sh_plan
-
-    mh_plan = (minhash_lsh_candidates(docs)
-               ._jdf.queryExecution().executedPlan().toString())
-    assert mh_plan.count("Scan parquet") == 0, mh_plan
-    assert mh_plan.count("ExistingRDD") >= 3, mh_plan
+    for df in (simhash_near_dups(docs, max_hamming=3, n_blocks=4),
+               minhash_lsh_candidates(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, plan
+        assert plan.count("ExistingRDD") == 1, plan
+        assert plan.count("Exchange") <= 3, plan
 
 
 def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):
