@@ -57,15 +57,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # candidate labels flowing across edges: u receives v's label
         nbr = (e.join(labels.withColumnRenamed("id", "v"), "v")
                 .select(F.col("u").alias("id"), "component"))
-        new_labels = (labels.unionByName(nbr)
+        # the convergence flag is computed INSIDE the round plan (each
+        # vertex carries its previous label through the aggregate), so
+        # the per-round checkpoint job materializes labels AND the
+        # changed flag together — the old shape ran a separate
+        # new-vs-old join job per round (measured at sf0.1: CC portion
+        # 0.77s -> 0.65s, faster in every interleaved round)
+        new_labels = (labels.withColumn("_old", F.col("component"))
+                            .unionByName(nbr.withColumn(
+                                "_old", F.lit(None).cast("long")))
                             .groupBy("id")
-                            .agg(F.min("component").alias("component"))
+                            .agg(F.min("component").alias("component"),
+                                 F.min("_old").alias("_old"))
+                            .withColumn("_chg",
+                                        F.col("component") != F.col("_old"))
                             .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed(
-                        "component", "old"), "id")
-                             .filter(F.col("component") != F.col("old"))
-                             .limit(1).count())
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
