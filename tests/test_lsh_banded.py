@@ -141,6 +141,24 @@ def test_near_dup_plans_compute_signatures_once(spark, docs):
         assert plan.count("Exchange") <= 3, plan
 
 
+def test_bucket_pairs_cap_and_pairing(spark):
+    """bucket_pairs unit semantics: all unordered in-bucket pairs with
+    a.id < b.id, singleton buckets dropped, oversized buckets dropped
+    by the cap exactly like the old count+anti-join shape."""
+    from outliertree_spark.operators.similarity import bucket_pairs
+
+    rows = ([(k, i) for k in ("a", "b") for i in range(3)]   # two 3-buckets
+            + [("solo", 99)]                                  # singleton
+            + [("hot", i) for i in range(10)])                # over cap
+    df = spark.createDataFrame(rows, "key string, id long")
+    p = bucket_pairs(df, ["key"], ["id"], "id", bucket_cap=5)
+    got = {(r["a"]["id"], r["b"]["id"]) for r in p.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}  # both 3-buckets, same ids
+    assert p.count() == 6                    # 3 pairs per surviving bucket
+    # cap None keeps the hot bucket: C(10,2) + 2*C(3,2)
+    assert bucket_pairs(df, ["key"], ["id"], "id", None).count() == 45 + 6
+
+
 def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):
     """The minhash signature plan must not shuffle the tokenized corpus:
     no Window, and no Exchange below the partial aggregate (the only
