@@ -12,7 +12,7 @@ Nearest Neighbor Search", the IVF part).
 Recall levers: ``n_assign`` (corpus rows indexed under their top-n
 cells; near-identical vectors then share >= 1 cell with high
 probability) and ``nprobe`` for queries.  All joins are bucket-capped
-like the LSH family (similarity._cap_buckets).
+like the LSH family (similarity.bucket_pairs).
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .similarity import _cap_buckets, cosine_expr
+from .similarity import bucket_pairs, cosine_expr
 
 
 def train_centroids(emb: DataFrame, vec_col: str = "embedding",
@@ -84,12 +84,13 @@ def ivf_near_dups(emb: DataFrame, id_col: str = "vec_id",
     b = emb.select(F.col(id_col), F.col(vec_col),
                    assign_cells(vec_col, centroids, n_assign).alias("_cells"))
     e = b.select(id_col, F.explode("_cells").alias("_cell"))
-    e = _cap_buckets(e, ["_cell"], bucket_cap)
-    left = e.select(F.col(id_col).alias("id_a"), "_cell")
-    right = e.select(F.col(id_col).alias("id_b"), "_cell")
-    pairs = (left.join(right, "_cell")
-                 .filter(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
+    # one-exchange in-bucket expansion (see similarity.bucket_pairs): the
+    # round-3 cap-count + aliased self-join referenced `e` three times,
+    # re-running the Arrow cell-assignment UDF per reference
+    p = bucket_pairs(e, ["_cell"], [id_col], id_col, bucket_cap)
+    pairs = (p.select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+              .distinct())
     v = emb.select(F.col(id_col), F.col(vec_col))
     a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     bb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))

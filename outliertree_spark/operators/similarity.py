@@ -194,12 +194,16 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     buckets (OR-construction), exact cosine re-rank after.  Recall rises
     with n_tables and falls with n_planes; at scale the bucket join
     replaces the cross join and the query side stays broadcastable."""
-    c = (emb.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("_cv"),
-                    lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
-                    .alias("_bkts"))
-            .select("neighbor_id", "_cv",
-                    F.posexplode("_bkts").alias("_tbl", "_bkt")))
+    # materialize the bucketed corpus once: the cap's count subplan and
+    # the probe join otherwise each re-run the Arrow bucket UDF (the
+    # expensive stage) — same single-computation rule as the signature
+    # tables in operators/dedup.py
+    b = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("_cv"),
+                   lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
+                   .alias("_bkts")).localCheckpoint(eager=False)
+    c = b.select("neighbor_id", "_cv",
+                 F.posexplode("_bkts").alias("_tbl", "_bkt"))
     c = _cap_buckets(c, ["_tbl", "_bkt"], bucket_cap)
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
                         lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
