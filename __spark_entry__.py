@@ -400,6 +400,23 @@ def q_boilerplate_removal(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Global keep-first paragraph dedup (CCNet/Dolma-style): every
+    occurrence of a repeated non-empty paragraph except the globally
+    first (smallest (doc_id, pos)) is removed and documents are
+    reassembled in order.  Distinct from boilerplate_removal's
+    threshold semantics: one copy of EVERY repeated paragraph survives.
+    The detection exchange carries (md5, doc_id, pos) only — text bytes
+    never shuffle (see operators/paragraphs.py).  md5 of the rewritten
+    bytes so the oracle verifies exact surviving content."""
+    from outliertree_spark.operators.paragraphs import dedup_paragraphs
+    d = _lined_docs(_docs(spark, sf_dir))
+    out = dedup_paragraphs(d)
+    return (out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                       "n_paras_removed")
+               .orderBy("doc_id"))
+
+
 def q_training_pipeline(spark, sf_dir):
     """End-to-end training-data pipeline in ONE declarative plan
     (round 3): boilerplate-clean -> PII scrub -> exact dedup (keep min
@@ -938,6 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_removal": q_boilerplate_removal,
+        "paragraph_dedup": q_paragraph_dedup,
         "training_pipeline": q_training_pipeline,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1061,10 +1079,11 @@ _PLANTED_EMB_SQL = """
 """
 
 
-def _boiler_cte() -> str:
-    """Shared DuckDB chain: 8-token line chunking + top-100 frequent-line
-    boilerplate set + per-doc kept-lines — used by the boilerplate_removal
-    and training_pipeline oracles so they cannot drift."""
+def _chunks_cte() -> str:
+    """Shared DuckDB prefix: the 8-token line chunking of `_lined_docs`
+    (doc_id -> cs, the list of line strings).  Extended by the
+    boilerplate/training oracles and the paragraph-dedup oracle so the
+    line fixture can never drift between them."""
     return r'''
             WITH toks AS (
               SELECT doc_id,
@@ -1075,7 +1094,14 @@ def _boiler_cte() -> str:
                   generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT)),
                   i -> trim(array_to_string(
                          t[(i-1)*8+1 : (i-1)*8+8], ' '))) AS cs
-              FROM toks),
+              FROM toks)'''
+
+
+def _boiler_cte() -> str:
+    """Shared DuckDB chain: 8-token line chunking + top-100 frequent-line
+    boilerplate set + per-doc kept-lines — used by the boilerplate_removal
+    and training_pipeline oracles so they cannot drift."""
+    return _chunks_cte() + r''',
             lines AS (
               SELECT doc_id, unnest(list_distinct(cs)) AS line FROM chunks),
             f AS (
@@ -1416,6 +1442,34 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(kept, chr(10))) AS clean_md5,
                    CAST(len(cs) - len(kept) AS BIGINT) AS n_lines_removed
             FROM c ORDER BY doc_id
+        """,
+        "paragraph_dedup": _chunks_cte() + r""",
+            paras AS (
+              SELECT doc_id,
+                     unnest(cs) AS para,
+                     unnest(generate_series(1, len(cs))) AS pos
+              FROM chunks),
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY md5(trim(para))
+                                        ORDER BY doc_id, pos) AS rn
+              FROM paras WHERE length(trim(para)) > 0),
+            k AS (
+              SELECT p.doc_id, p.pos, p.para, coalesce(r.rn, 1) AS rn
+              FROM paras p LEFT JOIN r USING (doc_id, pos)),
+            kept AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean
+              FROM k WHERE rn = 1 GROUP BY doc_id),
+            rm AS (
+              SELECT doc_id, count(*) AS n_rm
+              FROM k WHERE rn > 1 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   md5(coalesce(kept.clean, '')) AS clean_md5,
+                   CAST(coalesce(rm.n_rm, 0) AS BIGINT) AS n_paras_removed
+            FROM documents d
+            LEFT JOIN kept USING (doc_id)
+            LEFT JOIN rm USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "training_pipeline": _boiler_cte() + r"""
             , cl AS (
