@@ -475,6 +475,17 @@ def q_lang_id(spark, sf_dir):
                                        lang_id("text").alias("lang_pred"))
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Unigram-LM surprisal quality scores (CCNet-style KenLM proxy):
+    per doc the mean corpus log-probability of its tokens, plus the
+    exact-integer sum of corpus term frequencies as an
+    order-independent twin the hash gate checks bit-for-bit."""
+    from outliertree_spark.operators.text import unigram_lm_scores
+    out = unigram_lm_scores(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", "sum_tf",
+                      F.round("mean_logp", 4).alias("mean_logp"))
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (d.select(F.md5("text").alias("text_hash"), "doc_id")
@@ -960,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "unigram_lm": q_unigram_lm,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
         "verdicts_by_source": q_verdicts_by_source,
@@ -1582,6 +1594,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred
             FROM ranked WHERE rn = 1
+        """,
+        "unigram_lm": r"""
+            WITH tr AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS term
+              FROM documents),
+            v AS (SELECT term, count(*) AS tf FROM tr GROUP BY term),
+            tot AS (SELECT sum(tf) AS total FROM v)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(tf) AS BIGINT) AS sum_tf,
+                   round(avg(ln(CAST(tf AS DOUBLE) / total)), 4)
+                     AS mean_logp
+            FROM tr JOIN v USING (term), tot
+            GROUP BY doc_id
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

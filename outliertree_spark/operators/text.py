@@ -205,6 +205,41 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
                      ratio.alias("dup_gram_ratio"))
 
 
+def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Unigram language-model quality signal (the KenLM-perplexity proxy
+    used by CCNet-style filters, reduced to its SQL-expressible core):
+    for each document the mean corpus log-probability of its tokens.
+
+    Output per document: ``n_tokens`` (long), ``sum_tf`` (long — exact
+    integer sum of the corpus term frequencies of the document's tokens,
+    the order-independent integer twin of the float score) and
+    ``mean_logp`` (double — mean over tokens of ``ln(tf(term)/total)``).
+    Prose made of common words scores high (less negative); rare-token
+    word salad and non-language noise score low — the standard
+    "surprisal" filter signal.
+
+    Shape at scale: tokens explode WITHIN the scan partition twice —
+    once into the vocabulary aggregate (map-side combined: the exchange
+    is vocabulary-sized, not corpus-sized) and once into the scoring
+    join.  Here the whole vocabulary broadcasts; at 100 TB the standard
+    shape is to broadcast the Zipf head (the top ~1M terms carry >99% of
+    token mass) with an out-of-vocabulary floor probability for the
+    tail, so the corpus itself still never shuffles.  The per-doc
+    aggregate map-side-combines to one row per document."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .filter(F.length("term") > 0))
+    vocab = tr.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
+    total = vocab.agg(F.sum("_tf").alias("_total"))
+    j = tr.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
+    logp = F.log(F.col("_tf").cast("double") / F.col("_total").cast("double"))
+    return (j.groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum("_tf").alias("sum_tf"),
+                  F.avg(logp).alias("mean_logp")))
+
+
 def compression_ratio(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       level: int = 6) -> DataFrame:

@@ -143,3 +143,19 @@ def test_repetition_scores_values(spark):
     assert got[2] == (3, 0.0)
     assert got[3] == (0, 0.0)
     assert got[4] == (0, 0.0)
+
+
+def test_unigram_lm_scores_values(spark):
+    import math
+    from outliertree_spark.operators.text import unigram_lm_scores
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    # tf: a=2 b=2 c=1, total=5
+    got = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["sum_tf"] == 6
+    assert got[2]["n_tokens"] == 2 and got[2]["sum_tf"] == 3
+    assert abs(got[1]["mean_logp"] - math.log(0.4)) < 1e-9
+    assert abs(got[2]["mean_logp"]
+               - (math.log(0.4) + math.log(0.2)) / 2) < 1e-9
+    # surprisal ordering: the common-token doc scores higher
+    assert got[1]["mean_logp"] > got[2]["mean_logp"]
