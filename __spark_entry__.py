@@ -154,6 +154,21 @@ def q_uniqueness_screen(spark, sf_dir):
                .orderBy("column"))
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Percentile profile of text length per language via the mergeable
+    GK sketch (approx_percentile) with an exact rank-error gate: the
+    sketch value must land between the exact quantiles at p +/- delta.
+    Output carries the exact percentiles (DuckDB recomputes them with
+    quantile_cont — same type-7 linear interpolation) plus the gate
+    booleans the oracle expects all-true, so a sketch regression fails
+    the hash."""
+    from outliertree_spark.operators.checks import quantile_screen
+    d = _docs(spark, sf_dir)
+    out = quantile_screen(d, "n_chars", ["lang"],
+                          ps=(0.5, 0.9, 0.99), accuracy=1000)
+    return out.orderBy("lang")
+
+
 def q_drift_psi_lang(spark, sf_dir):
     from outliertree_spark.operators.checks import distribution_drift
     d = _docs(spark, sf_dir)
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_orders": q_orphan_orders,
         "rare_categories": q_rare_categories,
         "uniqueness_screen": q_uniqueness_screen,
+        "length_quantiles": q_length_quantiles,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
         "ts_range_events": q_ts_range_events,
@@ -1263,6 +1279,17 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(DISTINCT o_orderstatus) AS BIGINT)
               FROM orders)
             ORDER BY col
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   CAST(count(n_chars) AS BIGINT) AS n_rows,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   true AS p50_ok,
+                   round(quantile_cont(n_chars, 0.9), 6) AS p90,
+                   true AS p90_ok,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99,
+                   true AS p99_ok
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "drift_psi_lang": """
             WITH a AS (SELECT lang, count(*) AS n_a FROM documents

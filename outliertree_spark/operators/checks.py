@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..colref import qcol
+from ..colref import qcol, qname
 
 
 def uniqueness_violations(df: DataFrame, key_cols: list[str] | str,
@@ -164,3 +164,62 @@ def uniqueness_screen(df: DataFrame, cols: list[str],
         fields.append(F.struct(*f))
     return (row.select(F.explode(F.array(*fields)).alias("_s"))
                .select("_s.*"))
+
+
+def quantile_screen(df: DataFrame, col: str,
+                    group_cols: list[str] | None = None,
+                    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    accuracy: int = 1000,
+                    with_exact: bool = True) -> DataFrame:
+    """Numeric-column percentile profile via the mergeable
+    Greenwald-Khanna sketch (``percentile_approx``): one scan, bounded
+    per-group state, partial-aggregated map-side — the 100 TB path for
+    length/latency profiling where an exact percentile would sort the
+    column.
+
+    ``with_exact`` adds exact percentiles (the reported ``p<N>`` values,
+    type-7 linear interpolation — what DuckDB's ``quantile_cont``
+    recomputes) and a per-percentile ``p<N>_ok`` gate asserting the
+    sketch landed within its RANK-error bound: the approximate value
+    must lie between the DISCRETE quantiles at ``p ± delta``, where
+    ``delta`` covers the sketch's guaranteed rank error (~1/accuracy)
+    with slack.  The bounds are discrete (``approx_percentile`` at
+    exact accuracy — same value convention as the sketch, actual data
+    elements), NOT interpolated: a sketch always returns a real data
+    value, which for small groups can sit outside the narrow
+    interpolated band even when its rank is exactly right.  The gate is
+    rank-based, not value-based, so it is distribution-independent.
+    Switch ``with_exact`` off at scale — the exact side is the very
+    sort being avoided."""
+    delta = max(0.02, 10.0 / accuracy)
+    gb = df.groupBy(*[qcol(g).alias(g) for g in group_cols]) \
+        if group_cols else df.groupBy()
+    qc = qname(col)
+    p_list = ", ".join(f"{p}d" for p in ps)
+    aggs = [F.count(qcol(col)).alias("n_rows"),
+            F.expr(f"approx_percentile({qc}, array({p_list}), {accuracy})")
+             .alias("_ap")]
+    if with_exact:
+        exact_ps = ", ".join(f"{p}d" for p in ps)
+        aggs.append(F.expr(f"percentile({qc}, array({exact_ps}))")
+                     .alias("_ex"))
+        lo = [max(p - delta, 0.0) for p in ps]
+        hi = [min(p + delta, 1.0) for p in ps]
+        bound_ps = ", ".join(f"{p}d" for p in [*lo, *hi])
+        aggs.append(F.expr(f"approx_percentile({qc}, array({bound_ps}), "
+                           f"{10_000_000})").alias("_bd"))
+    out = gb.agg(*aggs)
+    cols = ([qcol(g) for g in group_cols] if group_cols else []) \
+        + [F.col("n_rows")]
+    k = len(ps)
+    for i, p in enumerate(ps):
+        name = f"p{int(round(p * 100))}"
+        if with_exact:
+            cols.append(F.round(F.element_at("_ex", i + 1), 6).alias(name))
+            ap = F.element_at("_ap", i + 1).cast("double")
+            blo = F.element_at("_bd", i + 1).cast("double")
+            bhi = F.element_at("_bd", k + i + 1).cast("double")
+            cols.append(((ap >= blo) & (ap <= bhi)).alias(f"{name}_ok"))
+        else:
+            cols.append(F.element_at("_ap", i + 1).alias(name))
+    return out.select(*cols)

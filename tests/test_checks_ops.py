@@ -325,3 +325,34 @@ def test_checks_accept_dotted_column_names(spark):
     # categorical branch on a dotted name too
     drc = distribution_drift(df, df, "grp.name")
     assert {r["bucket"] for r in drc.collect()} == {"a", "b"}
+
+
+def test_quantile_screen_exact_and_gate(spark):
+    from outliertree_spark.operators.checks import quantile_screen
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(1, 101)],
+        ["grp", "x"])
+    out = {r["grp"]: r for r in
+           quantile_screen(df, "x", ["grp"], ps=(0.5, 0.9)).collect()}
+    # exact type-7 interpolation: p50 of 1..100 = 50.5, p90 = 90.1
+    for g in ("a", "b"):
+        assert out[g]["n_rows"] == 100
+        assert abs(out[g]["p50"] - 50.5) < 1e-9
+        assert abs(out[g]["p90"] - 90.1) < 1e-9
+        assert out[g]["p50_ok"] and out[g]["p90_ok"]
+    # ungrouped + sketch-only mode (the at-scale path)
+    solo = quantile_screen(df, "x", None, ps=(0.5,),
+                           with_exact=False).collect()[0]
+    assert solo["n_rows"] == 200 and 45 <= solo["p50"] <= 56
+
+
+def test_quantile_screen_dotted_column(spark):
+    from outliertree_spark.operators.checks import quantile_screen
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0), (4, "b", 4.0)],
+        ["id.key", "grp.name", "val.x"])
+    out = {r["grp.name"]: r for r in
+           quantile_screen(df, "val.x", ["grp.name"], ps=(0.5,)).collect()}
+    assert abs(out["a"]["p50"] - 1.5) < 1e-9
+    assert abs(out["b"]["p50"] - 3.5) < 1e-9
+    assert out["a"]["p50_ok"] and out["b"]["p50_ok"]
