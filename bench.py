@@ -314,7 +314,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "repetition_scores", "extract_text", "canonical_urls",
              "decontamination", "pii_scrub", "hot_domains",
              "orphan_hosts", "url_dup_groups", "training_pipeline",
-             "ann_topk_recall", "outlier_validate_root"]
+             "ann_topk_recall", "outlier_validate_root",
+             "paragraph_dedup", "unigram_lm", "length_quantiles"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -199,6 +199,28 @@ def main() -> None:
         "oracle compares exactly.",
         plan_of(domain_profile(doms, "domain"))))
 
+    from outliertree_spark.operators.paragraphs import dedup_paragraphs
+    sections.append((
+        "Global keep-first paragraph dedup",
+        "CCNet-style cross-corpus paragraph dedup: the first-occurrence "
+        "window runs on a TEXT-FREE projection (md5 digest + doc_id + "
+        "position — check the Exchange/Sort columns below), loser "
+        "positions aggregate to one small array per affected doc, and "
+        "removal is a row-local indexed filter after the join back on "
+        "doc_id.  Text bytes cross the wire at most once; AQE turns the "
+        "loser side into a broadcast when it is small.",
+        plan_of(dedup_paragraphs(docs.select("doc_id", "text")))))
+
+    from outliertree_spark.operators.checks import quantile_screen
+    sections.append((
+        "Quantile screen (GK sketch, sketch-only mode)",
+        "Percentile profile via approx_percentile: ONE partial+final "
+        "hash aggregate, bounded mergeable state per group, no sort and "
+        "no global exchange beyond the group-by — the at-scale "
+        "with_exact=False path.",
+        plan_of(quantile_screen(docs, "n_chars", ["lang"],
+                                with_exact=False))))
+
     import __spark_entry__ as entrymod
     sections.append((
         "Composed training pipeline (clean -> scrub -> dedup -> sample)",
