@@ -425,7 +425,12 @@ def q_paragraph_dedup(spark, sf_dir):
     never shuffle (see operators/paragraphs.py).  md5 of the rewritten
     bytes so the oracle verifies exact surviving content."""
     from outliertree_spark.operators.paragraphs import dedup_paragraphs
-    d = _lined_docs(_docs(spark, sf_dir))
+    # materialize the derived line fixture once: the operator's two-sided
+    # plan (detection + join-back) would otherwise run the HOF-heavy
+    # 8-token chunking twice.  A real corpus is a stored table and this
+    # is a no-op re-scan; the checkpoint mirrors the signature-table rule
+    # in operators/dedup.py.
+    d = _lined_docs(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     out = dedup_paragraphs(d)
     return (out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
                        "n_paras_removed")

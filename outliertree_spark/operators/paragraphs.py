@@ -34,12 +34,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .dedup import _spread
+
 
 def paragraph_rows(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", sep: str = "\n") -> DataFrame:
     """(id, pos, para): one row per paragraph with its 0-based position."""
     arr = F.split(F.col(text_col), sep)
-    return df.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
+    return _spread(df).select(F.col(id_col),
+                              F.posexplode(arr).alias("pos", "para"))
 
 
 def paragraph_stats(df: DataFrame, id_col: str = "doc_id",
@@ -72,7 +75,7 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     internally (only its first copy stays).
     """
     arr = F.split(F.col(text_col), sep)
-    paras = df.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
+    paras = paragraph_rows(df, id_col, text_col, sep)
     t = F.trim(F.col("para"))
     # detection pass: text-free projection (digest + two ints per para)
     ne = (paras.filter(F.length(t) > 0)
