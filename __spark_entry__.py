@@ -154,6 +154,24 @@ def q_uniqueness_screen(spark, sf_dir):
                .orderBy("column"))
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Row-level delta between two snapshot versions of the documents
+    table (north-rule: validation across warc_ts-partitioned snapshot
+    versions).  Deterministic fixture: old drops doc_id%11==3, new drops
+    doc_id%13==5 and rewrites text for doc_id%17==2 — so the output
+    carries added, removed AND changed rows.  Each side reduces to
+    (key, md5) in the scan; one full-outer join on the key."""
+    from outliertree_spark.operators.checks import snapshot_diff
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 11 != 3)
+    new = (d.filter(F.col("doc_id") % 13 != 5)
+            .withColumn("text", F.when(F.col("doc_id") % 17 == 2,
+                                       F.concat("text", F.lit(" v2")))
+                                 .otherwise(F.col("text"))))
+    out = snapshot_diff(old, new, "doc_id", ["text", "lang"])
+    return out.orderBy("doc_id")
+
+
 def q_length_quantiles(spark, sf_dir):
     """Percentile profile of text length per language via the mergeable
     GK sketch (approx_percentile) with an exact rank-error gate: the
@@ -973,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_categories": q_rare_categories,
         "uniqueness_screen": q_uniqueness_screen,
         "length_quantiles": q_length_quantiles,
+        "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
         "ts_range_events": q_ts_range_events,
@@ -1284,6 +1303,27 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(DISTINCT o_orderstatus) AS BIGINT)
               FROM orders)
             ORDER BY col
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id, md5(concat_ws(chr(1), text, lang)) AS h
+              FROM documents WHERE doc_id % 11 <> 3),
+            n AS (
+              SELECT doc_id,
+                     md5(concat_ws(chr(1),
+                         CASE WHEN doc_id % 17 = 2 THEN text || ' v2'
+                              ELSE text END, lang)) AS h
+              FROM documents WHERE doc_id % 13 <> 5),
+            j AS (
+              SELECT doc_id, o.h AS ho, n.h AS hn
+              FROM o FULL OUTER JOIN n USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN ho IS NULL THEN 'added'
+                        WHEN hn IS NULL THEN 'removed'
+                        WHEN ho <> hn THEN 'changed' END AS change_type
+            FROM j
+            WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+            ORDER BY doc_id
         """,
         "length_quantiles": """
             SELECT lang,

@@ -315,7 +315,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "decontamination", "pii_scrub", "hot_domains",
              "orphan_hosts", "url_dup_groups", "training_pipeline",
              "ann_topk_recall", "outlier_validate_root",
-             "paragraph_dedup", "unigram_lm", "length_quantiles"]
+             "paragraph_dedup", "unigram_lm", "length_quantiles",
+             "snapshot_diff"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -53,6 +53,44 @@ def referential_orphans(child: DataFrame, parent: DataFrame,
     return child.join(p, on=child_key, how="left_anti")
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_cols: list[str] | str,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level delta between two snapshots of the same table
+    (north-rule: validation across ``warc_ts``-partitioned snapshot
+    versions): one row per key whose state changed, with ``change_type``
+    in ``added`` (key only in ``new``), ``removed`` (only in ``old``) or
+    ``changed`` (present in both, compared content differs).  Unchanged
+    keys are filtered out — at 10^12 rows the delta is the small output,
+    never the join input.
+
+    Content identity is md5 over the ``compare_cols`` (default: all
+    shared non-key columns, in ``old``'s column order), null-safe via a
+    per-column sentinel.  Scale shape: each side reduces to (key, digest)
+    in the scan — content bytes never shuffle — then ONE co-partitioned
+    full-outer join on the key; on bucketed tables (sources/bucketed.py)
+    the exchange disappears entirely."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+
+    def _digest(df: DataFrame, alias: str) -> DataFrame:
+        parts = [F.coalesce(qcol(c).cast("string"), F.lit("\x00null"))
+                 for c in compare_cols]
+        return df.select(*[qcol(k).alias(k) for k in keys],
+                         F.md5(F.concat_ws("\x01", *parts)).alias(alias))
+
+    j = _digest(old, "_h_old").join(_digest(new, "_h_new"), keys,
+                                    "full_outer")
+    change = (F.when(F.col("_h_old").isNull(), "added")
+               .when(F.col("_h_new").isNull(), "removed")
+               .when(F.col("_h_old") != F.col("_h_new"), "changed"))
+    return (j.withColumn("change_type", change)
+             .filter(F.col("change_type").isNotNull())
+             .select(*[qcol(k) for k in keys], "change_type"))
+
+
 def _histogram(df: DataFrame, col: str, bucket_expr=None) -> DataFrame:
     e = bucket_expr if bucket_expr is not None else qcol(col)
     return (df.select(e.alias("bucket"))

@@ -356,3 +356,30 @@ def test_quantile_screen_dotted_column(spark):
     assert abs(out["a"]["p50"] - 1.5) < 1e-9
     assert abs(out["b"]["p50"] - 3.5) < 1e-9
     assert out["a"]["p50_ok"] and out["b"]["p50_ok"]
+
+
+def test_snapshot_diff_semantics(spark):
+    from outliertree_spark.operators.checks import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "en"), (3, "c", "de"), (5, None, "fr")],
+        "k long, text string, lang string")
+    new = spark.createDataFrame(
+        [(1, "a", "en"), (2, "B2", "en"), (4, "d", "es"), (5, "x", "fr")],
+        "k long, text string, lang string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added,
+    # 5 null -> value counts as changed (null-safe sentinel)
+    assert got == {2: "changed", 3: "removed", 4: "added", 5: "changed"}
+
+
+def test_snapshot_diff_dotted_and_subset_cols(spark):
+    from outliertree_spark.operators.checks import snapshot_diff
+    old = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")],
+                                ["id.key", "val.a", "other"])
+    new = spark.createDataFrame([(1, "a", "CHANGED"), (2, "B", "y")],
+                                ["id.key", "val.a", "other"])
+    # compare only val.a: row 1's 'other' change is invisible
+    got = {r["id.key"]: r["change_type"]
+           for r in snapshot_diff(old, new, "id.key", ["val.a"]).collect()}
+    assert got == {2: "changed"}
