@@ -19,6 +19,10 @@ def plan_of(df) -> str:
 
 
 def shorten(plan: str, max_lines: int = 40) -> str:
+    # plans can embed control-byte literals (null sentinels, \x01
+    # separators); keep PLANS.md plain text
+    plan = "".join(ch if ch == "\n" or ch >= " " else f"\\x{ord(ch):02x}"
+                   for ch in plan)
     lines = [ln.rstrip() for ln in plan.splitlines()]
     out = []
     for ln in lines[:max_lines]:
@@ -220,6 +224,18 @@ def main() -> None:
         "with_exact=False path.",
         plan_of(quantile_screen(docs, "n_chars", ["lang"],
                                 with_exact=False))))
+
+    from outliertree_spark.operators.checks import snapshot_diff
+    sections.append((
+        "Snapshot-version delta check",
+        "Each snapshot reduces to (key, md5-of-compared-columns) inside "
+        "its own scan stage — content bytes never enter the exchange — "
+        "then ONE full-outer SortMergeJoin on the key classifies "
+        "added/removed/changed.  On bucketed tables the exchange "
+        "disappears (sources/bucketed.py).",
+        plan_of(snapshot_diff(docs.select("doc_id", "text", "lang"),
+                              docs.select("doc_id", "text", "lang"),
+                              "doc_id"))))
 
     import __spark_entry__ as entrymod
     sections.append((
