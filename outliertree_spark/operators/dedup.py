@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import banded_lsh_pairs, bucket_pairs, cosine_expr
+from .similarity import banded_lsh_pairs, bucket_pairs
 
 # 2^31-1: products of two residues stay < 2^62, safe for ANSI long math
 MERSENNE = (1 << 31) - 1
@@ -336,10 +336,18 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     defaults) then exact cosine re-rank."""
     pairs = banded_lsh_pairs(emb, id_col, vec_col, n_tables, n_planes,
                              seed, bucket_cap)
-    v = emb.select(F.col(id_col), F.col(vec_col))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # norms once per vector before the pair join (bit-identical: same
+    # fold, same na * nb operand order as cosine_expr)
+    from .similarity import dot_expr, norm_expr
+    v = emb.select(F.col(id_col), F.col(vec_col),
+                   norm_expr(F.col(vec_col)).alias("_n"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                 F.col("_n").alias("_na"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                 F.col("_n").alias("_nb"))
     j = pairs.join(a, "id_a").join(b, "id_b")
-    return (j.withColumn("cosine", cosine_expr("v_a", "v_b"))
+    return (j.withColumn("cosine",
+                         dot_expr("v_a", "v_b")
+                         / (F.col("_na") * F.col("_nb")))
              .filter(F.col("cosine") >= min_cosine)
              .select("id_a", "id_b", "cosine"))

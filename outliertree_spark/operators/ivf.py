@@ -22,7 +22,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from .similarity import bucket_pairs, cosine_expr
+from .similarity import bucket_pairs, dot_expr, norm_expr
 
 
 def train_centroids(emb: DataFrame, vec_col: str = "embedding",
@@ -91,11 +91,18 @@ def ivf_near_dups(emb: DataFrame, id_col: str = "vec_id",
     pairs = (p.select(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
               .distinct())
-    v = emb.select(F.col(id_col), F.col(vec_col))
-    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    bb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # norms once per vector before the pair join (bit-identical: same
+    # fold, same na * nb operand order)
+    v = emb.select(F.col(id_col), F.col(vec_col),
+                   norm_expr(F.col(vec_col)).alias("_n"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+                 F.col("_n").alias("_na"))
+    bb = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+                  F.col("_n").alias("_nb"))
     j = pairs.join(a, "id_a").join(bb, "id_b")
-    return (j.withColumn("cosine", cosine_expr("v_a", "v_b"))
+    return (j.withColumn("cosine",
+                         dot_expr("v_a", "v_b")
+                         / (F.col("_na") * F.col("_nb")))
              .filter(F.col("cosine") >= min_cosine)
              .select("id_a", "id_b", "cosine"))
 
@@ -114,17 +121,21 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                                     seed=seed)
     c = (emb.select(F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("_cv"),
+                    norm_expr(F.col(vec_col)).alias("_cn"),
                     assign_cells(vec_col, centroids, 1).alias("_cells"))
-            .select("neighbor_id", "_cv",
+            .select("neighbor_id", "_cv", "_cn",
                     F.explode("_cells").alias("_cell")))
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                        norm_expr(F.col(vec_col)).alias("_qn"),
                         assign_cells(vec_col, centroids, nprobe)
                         .alias("_cells"))
-                .select(query_id_col, "_qv",
+                .select(query_id_col, "_qv", "_qn",
                         F.explode("_cells").alias("_cell")))
     j = (c.join(F.broadcast(q), "_cell")
           .filter(F.col("neighbor_id") != F.col(query_id_col))
-          .withColumn("cosine", cosine_expr("_qv", "_cv")))
+          .withColumn("cosine",
+                      dot_expr("_qv", "_cv")
+                      / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (j.withColumn("rank", F.row_number().over(w))

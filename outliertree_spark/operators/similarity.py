@@ -209,21 +209,27 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     # tables in operators/dedup.py
     b = emb.select(F.col(id_col).alias("neighbor_id"),
                    F.col(vec_col).alias("_cv"),
+                   norm_expr(F.col(vec_col)).alias("_cn"),
                    lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
                    .alias("_bkts")).localCheckpoint(eager=False)
-    c = b.select("neighbor_id", "_cv",
+    c = b.select("neighbor_id", "_cv", "_cn",
                  F.posexplode("_bkts").alias("_tbl", "_bkt"))
     c = _cap_buckets(c, ["_tbl", "_bkt"], bucket_cap)
+    # norms hoisted to once per vector (and into the checkpointed corpus
+    # table) — bit-identical to per-pair evaluation: same fold per
+    # vector, same qn * cn operand order below
     q = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                        norm_expr(F.col(vec_col)).alias("_qn"),
                         lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
                         .alias("_bkts"))
-                .select(query_id_col, "_qv",
+                .select(query_id_col, "_qv", "_qn",
                         F.posexplode("_bkts").alias("_tbl", "_bkt")))
     j = (c.join(F.broadcast(q), ["_tbl", "_bkt"])
           .filter(F.col("neighbor_id") != F.col(query_id_col))
-          .select(query_id_col, "neighbor_id", "_qv", "_cv")
+          .select(query_id_col, "neighbor_id", "_qv", "_qn", "_cv", "_cn")
           .distinct())
-    j = j.withColumn("cosine", cosine_expr("_qv", "_cv"))
+    j = j.withColumn("cosine",
+                     dot_expr("_qv", "_cv") / (F.col("_qn") * F.col("_cn")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (j.withColumn("rank", F.row_number().over(w))
