@@ -91,3 +91,19 @@ def test_paragraph_stats(spark):
     assert got["shared paragraph two"] == (3, 3)
     assert got["echo echo paragraph"] == (1, 2)
     assert "unique tail of doc one" not in got
+
+
+def test_detection_exchange_is_text_free(spark):
+    """Plan regression: the first-occurrence window shuffles ONLY the
+    (md5, doc_id, pos) projection — the paragraph text column must not
+    appear in any Exchange's hashpartitioning output, and the only
+    text-bearing wire crossing is the final doc_id join (broadcast here)."""
+    import re
+    out = dedup_paragraphs(_df(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "para" not in m.group(1), plan
+    # the window's sort below the detection exchange carries no 'para'
+    # column either: every Sort node sorts on _h/doc_id/pos only
+    for m in re.finditer(r"Sort \[([^\]]*)\]", plan):
+        assert "para" not in m.group(1), plan
