@@ -107,6 +107,37 @@ class ValidationSuite:
         self._checks.append(_Check(nm, "extraction_parity", fn))
         return self
 
+    def add_snapshot_delta(self, previous: DataFrame,
+                           key_cols: list[str] | str,
+                           compare_cols: list[str] | None = None,
+                           include_removed: bool = True,
+                           name: str | None = None):
+        """North-rule cross-snapshot validation: rows whose content
+        CHANGED versus the ``previous`` snapshot version are violations
+        (attributed to their partition in the new snapshot); rows that
+        were silently REMOVED are violations attributed to their
+        partition in the previous snapshot (they no longer exist in the
+        new one).  Additions are normal growth, never flagged.  Built on
+        :func:`operators.checks.snapshot_diff` — each side reduces to
+        (key, digest) before the one key join."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        nm = name or f"snapshot_{keys[0]}"
+
+        def fn(df: DataFrame) -> DataFrame:
+            d = C.snapshot_diff(previous, df, keys, compare_cols)
+            changed = df.join(
+                d.filter(F.col("change_type") == "changed"), keys, "inner")
+            out = changed
+            if include_removed:
+                removed = previous.join(
+                    d.filter(F.col("change_type") == "removed"), keys,
+                    "inner")
+                out = changed.unionByName(removed)
+            return out.withColumn("_check_value", F.col("change_type"))
+
+        self._checks.append(_Check(nm, "snapshot_delta", fn))
+        return self
+
     def add_drift_baseline(self, baseline: DataFrame, col: str,
                            max_psi: float = 0.2,
                            numeric_bucket_width: float | None = None,

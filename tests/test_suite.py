@@ -62,3 +62,30 @@ def test_suite_unified_run(spark, data):
     assert vd.loc[4, [c for c in vd.columns if c.startswith("psi_")][0]] > 0.2
     # non-drifted partitions have small PSI
     assert vd.loc[0, [c for c in vd.columns if c.startswith("psi_")][0]] < 0.2
+
+
+def test_suite_snapshot_delta(spark, data):
+    df, parent, baseline = data
+    # previous snapshot: doc 21's text_len differed, doc 4000 existed
+    # then (now removed), doc 17 is new growth (absent before)
+    prev = (df.filter(F.col("doc_id") != 17)
+              .withColumn("text_len",
+                          F.when(F.col("doc_id") == 21, F.lit(1.0))
+                           .otherwise(F.col("text_len"))))
+    extra = prev.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(4000).cast("long"))
+    prev = prev.unionByName(extra)
+    suite = (ValidationSuite(ValidationConfig())
+             .add_snapshot_delta(prev, "doc_id",
+                                 compare_cols=["text_len", "lang"]))
+    suite.fit(df, id_cols=["doc_id"], cols_ignore=["bucket", "url", "ref_id"])
+    viols, verdicts = suite.run(df, partition_col="bucket",
+                                id_cols=["doc_id"])
+    vp = viols.toPandas()
+    snap = vp[vp["check"] == "snapshot_doc_id"]
+    got = dict(zip(snap["doc_id"], snap["check_value"]))
+    assert got[21] == "changed"
+    assert got[4000] == "removed"     # attributed via the old snapshot
+    assert 17 not in got              # additions are growth, not violations
+    # removed doc 4000 carried bucket 0 from the previous snapshot
+    assert set(snap[snap["doc_id"] == 4000]["bucket"]) == {0}
