@@ -59,3 +59,49 @@ def test_hash_sample_deterministic_and_nested(spark, n, rate):
     assert a == b
     smaller = {r.k for r in hash_sample(df, rate / 2, "k").collect()}
     assert smaller <= a
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=30),
+                          st.text(alphabet="abc", max_size=3),
+                          st.text(alphabet="xy", max_size=2)),
+                min_size=1, max_size=20,
+                unique_by=lambda t: t[0]))
+def test_snapshot_diff_properties(spark, rows):
+    """diff(s, s) is empty, and swapping sides maps added <-> removed
+    while 'changed' is side-symmetric."""
+    from outliertree_spark.operators.checks import snapshot_diff
+    df = spark.createDataFrame(rows, "k long, a string, b string")
+    assert snapshot_diff(df, df, "k").count() == 0
+    # perturb: drop first key, rewrite second's content (when present)
+    ks = sorted({r[0] for r in rows})
+    new = df.filter(F.col("k") != ks[0])
+    if len(ks) > 1:
+        new = new.withColumn(
+            "a", F.when(F.col("k") == ks[1], F.lit("ZZZ"))
+                  .otherwise(F.col("a")))
+    fwd = {r["k"]: r["change_type"]
+           for r in snapshot_diff(df, new, "k").collect()}
+    rev = {r["k"]: r["change_type"]
+           for r in snapshot_diff(new, df, "k").collect()}
+    flip = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {k: flip[v] for k, v in fwd.items()}
+    assert fwd.get(ks[0]) == "removed"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=-1000, max_value=1000),
+                min_size=3, max_size=120))
+def test_quantile_screen_matches_numpy(spark, vals):
+    """Exact percentiles equal numpy's linear (type-7) interpolation and
+    every sketch gate holds on arbitrary integer data."""
+    import numpy as np
+    from outliertree_spark.operators.checks import quantile_screen
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    row = quantile_screen(df, "x", None, ps=(0.5, 0.9)).collect()[0]
+    assert row["n_rows"] == len(vals)
+    assert abs(row["p50"] - round(float(np.percentile(vals, 50)), 6)) < 1e-6
+    assert abs(row["p90"] - round(float(np.percentile(vals, 90)), 6)) < 1e-6
+    assert row["p50_ok"] and row["p90_ok"]
