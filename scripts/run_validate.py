@@ -42,6 +42,12 @@ def main(argv=None) -> int:
     p.add_argument("--model-in", default=None,
                    help="reuse an existing fitted model (skip fit)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--prev-snapshot", default=None,
+                   help="parquet path of the previous snapshot version; "
+                        "rows changed or silently removed since it are "
+                        "appended as snapshot_delta violations")
+    p.add_argument("--snapshot-key", default=None,
+                   help="key column for --prev-snapshot (default: --id-col)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -83,6 +89,43 @@ def main(argv=None) -> int:
         id_cols=[args.id_col] if args.id_col else None,
         max_violation_rate=args.max_violation_rate)
     viols.write.mode("append").parquet(args.violations_out)
+
+    if args.prev_snapshot:
+        # cross-snapshot check (north rule): changed rows are violations
+        # in their current partition, silently-removed rows in their old
+        # one; additions are growth.  Shaped to the engine's violation
+        # schema so one parquet sink carries both check families.
+        from pyspark.sql import functions as F
+
+        from outliertree_spark.operators.checks import snapshot_diff
+        prev = spark.read.parquet(args.prev_snapshot)
+        key = args.snapshot_key or args.id_col
+        if not key:
+            raise SystemExit("--prev-snapshot requires --snapshot-key "
+                             "or --id-col")
+        idc = list(dict.fromkeys(
+            [args.partition_col] + ([args.id_col] if args.id_col else [])))
+        d = snapshot_diff(prev, df, [key])
+
+        def _shape(src, ct):
+            rows = src.join(d.filter(F.col("change_type") == ct),
+                            [key], "inner")
+            return rows.select(
+                *idc,
+                F.lit("snapshot_delta").alias("suspicious_column"),
+                F.col("change_type").alias("suspicious_value"),
+                F.lit(None).cast("double").alias("suspicious_value_num"),
+                F.lit(None).cast("string").alias("group_statistics"),
+                F.lit(None).cast("string").alias("conditions"),
+                F.lit(None).cast("long").alias("tree_depth"),
+                F.lit(None).cast("boolean").alias("uses_NA_branch"),
+                F.lit(None).cast("double").alias("outlier_score"),
+                F.concat(F.lit("row "), F.col("change_type"),
+                         F.lit(" vs previous snapshot")).alias("explanation"))
+
+        snap = _shape(df, "changed").unionByName(_shape(prev, "removed"))
+        snap.write.mode("append").parquet(args.violations_out)
+
     ledger.record_verdicts(verdicts, args.partition_col,
                            lineage={"input": args.input,
                                     "model": args.model_out or args.model_in,

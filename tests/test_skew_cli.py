@@ -164,3 +164,41 @@ def test_domain_profile_ppm_and_hot_flag(spark):
     assert prof["c.com"].ppm == 10000  # exactly at threshold: not hot
     assert prof["a.com"].is_hot and prof["b.com"].is_hot
     assert not prof["c.com"].is_hot
+
+
+def test_cli_prev_snapshot(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    prev = str(tmp_path / "prev.parquet")
+    rng = np.random.RandomState(7)
+    n = 2000
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text_len": rng.lognormal(5, 0.3, n),
+        "lang": np.array(["en", "de"])[np.arange(n) % 2],
+        "bucket": np.arange(n) % 3,
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    # previous snapshot: doc 42's content differed; doc 5000 existed then
+    ppdf = pdf.copy()
+    ppdf.loc[42, "text_len"] = 1.0
+    extra = pdf.iloc[[0]].copy()
+    extra["doc_id"] = 5000
+    ppdf = pd.concat([ppdf, extra], ignore_index=True)
+    spark.createDataFrame(ppdf).write.mode("overwrite").parquet(prev)
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    vout = str(tmp_path / "violations.parquet")
+    cmd = [sys.executable, "scripts/run_validate.py",
+           "--input", src, "--partition-col", "bucket",
+           "--id-col", "doc_id", "--checkpoint", ledger,
+           "--violations-out", vout, "--prev-snapshot", prev,
+           "--master", "local[2]"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    viols = spark.read.parquet(vout).toPandas()
+    snap = viols[viols["suspicious_column"] == "snapshot_delta"]
+    got = dict(zip(snap["doc_id"], snap["suspicious_value"]))
+    assert got == {42: "changed", 5000: "removed"}
+    # removed row attributed to its partition in the previous snapshot
+    assert set(snap[snap["doc_id"] == 5000]["bucket"]) == {0}
