@@ -88,6 +88,11 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                 .agg(F.collect_list("pos").alias("_rm")))
     out = df.join(losers, id_col, "left")
     rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    # per-doc cost is O(paragraphs x removed) via array_contains — fine
+    # for web documents (both factors are at most thousands); there is no
+    # Catalyst binary search, and the alternative (explode + anti-join +
+    # reassemble) would trade this row-local arithmetic for two more
+    # corpus-wide text shuffles
     kept = F.filter(arr, lambda x, i: ~F.array_contains(rm, i))
     return (out.withColumn(out_col, F.array_join(kept, sep))
                .withColumn("n_paras_removed", F.size(rm).cast("long"))

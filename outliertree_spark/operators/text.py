@@ -206,7 +206,8 @@ def repetition_scores(df: DataFrame, id_col: str = "doc_id",
 
 
 def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      head_size: int | None = None) -> DataFrame:
     """Unigram language-model quality signal (the KenLM-perplexity proxy
     used by CCNet-style filters, reduced to its SQL-expressible core):
     for each document the mean corpus log-probability of its tokens.
@@ -222,21 +223,34 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     Shape at scale: tokens explode WITHIN the scan partition twice —
     once into the vocabulary aggregate (map-side combined: the exchange
     is vocabulary-sized, not corpus-sized) and once into the scoring
-    join.  Here the whole vocabulary broadcasts; at 100 TB the standard
-    shape is to broadcast the Zipf head (the top ~1M terms carry >99% of
-    token mass) with an out-of-vocabulary floor probability for the
-    tail, so the corpus itself still never shuffles.  The per-doc
-    aggregate map-side-combines to one row per document."""
+    join.  With ``head_size`` set (the 100 TB path), only the Zipf head
+    — the top ``head_size`` terms by frequency, which carry >99% of
+    token mass at ~1M terms — is broadcast, and out-of-vocabulary
+    tokens score a sub-singleton floor probability ``0.5/total`` (they
+    also contribute 0 to ``sum_tf``), so the corpus itself still never
+    shuffles regardless of vocabulary size.  ``head_size=None``
+    broadcasts the full vocabulary (exact; the oracle path).  The
+    per-doc aggregate map-side-combines to one row per document."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
             .filter(F.length("term") > 0))
     vocab = tr.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
     total = vocab.agg(F.sum("_tf").alias("_total"))
-    j = tr.join(F.broadcast(vocab), "term").crossJoin(F.broadcast(total))
-    logp = F.log(F.col("_tf").cast("double") / F.col("_total").cast("double"))
+    if head_size is None:
+        j = tr.join(F.broadcast(vocab), "term")
+        tf = F.col("_tf")
+    else:
+        head = (vocab.orderBy(F.desc("_tf"), F.asc("term"))
+                     .limit(head_size))
+        j = tr.join(F.broadcast(head), "term", "left")
+        tf = F.col("_tf")  # null for OOV: floor applies in logp below
+    j = j.crossJoin(F.broadcast(total))
+    tot = F.col("_total").cast("double")
+    logp = F.when(tf.isNotNull(), F.log(tf.cast("double") / tot)) \
+            .otherwise(F.log(F.lit(0.5) / tot))
     return (j.groupBy(id_col)
              .agg(F.count(F.lit(1)).alias("n_tokens"),
-                  F.sum("_tf").alias("sum_tf"),
+                  F.sum(F.coalesce(tf, F.lit(0))).alias("sum_tf"),
                   F.avg(logp).alias("mean_logp")))
 
 

@@ -159,3 +159,27 @@ def test_unigram_lm_scores_values(spark):
                - (math.log(0.4) + math.log(0.2)) / 2) < 1e-9
     # surprisal ordering: the common-token doc scores higher
     assert got[1]["mean_logp"] > got[2]["mean_logp"]
+
+
+def test_unigram_lm_head_and_oov_floor(spark):
+    import math
+    from outliertree_spark.operators.text import unigram_lm_scores
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    # head covering the full vocab == exact path
+    full = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    head3 = {r["doc_id"]: r
+             for r in unigram_lm_scores(df, head_size=3).collect()}
+    for k in (1, 2):
+        assert head3[k]["sum_tf"] == full[k]["sum_tf"]
+        assert abs(head3[k]["mean_logp"] - full[k]["mean_logp"]) < 1e-12
+    # head of 1 keeps only the most frequent term ('a' by tf-then-name);
+    # 'b'/'c' become OOV: floor logp ln(0.5/5), sum_tf counts them as 0
+    h1 = {r["doc_id"]: r
+          for r in unigram_lm_scores(df, head_size=1).collect()}
+    assert h1[1]["sum_tf"] == 4            # a + a known, b OOV
+    assert h1[2]["sum_tf"] == 0            # b + c both OOV
+    floor = math.log(0.5 / 5)
+    assert abs(h1[2]["mean_logp"] - floor) < 1e-9
+    assert abs(h1[1]["mean_logp"]
+               - (2 * math.log(0.4) + floor) / 3) < 1e-9
