@@ -67,3 +67,31 @@ def test_path_read_loses_bucketing_catalog_read_keeps_it(spark,
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "Exchange hashpartitioning" in plan2
+
+
+def test_snapshot_diff_on_bucketed_tables_has_no_exchange(spark):
+    """Backs the snapshot_diff docstring claim: on co-bucketed snapshot
+    versions the digest full-outer join runs with NO Exchange."""
+    import numpy as np
+    import pandas as pd
+    from outliertree_spark.operators.checks import snapshot_diff
+    n = 3000
+    old = pd.DataFrame({"doc_id": np.arange(n),
+                        "text": [f"t{i}" for i in range(n)]})
+    new = old.copy()
+    new.loc[7, "text"] = "CHANGED"
+    new = new[new["doc_id"] != 9]
+    write_bucketed(spark.createDataFrame(old), "t_snap_old",
+                   ["doc_id"], 8, sort_cols=["doc_id"])
+    write_bucketed(spark.createDataFrame(new), "t_snap_new",
+                   ["doc_id"], 8, sort_cols=["doc_id"])
+    try:
+        d = snapshot_diff(read_table(spark, "t_snap_old"),
+                          read_table(spark, "t_snap_new"), "doc_id")
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["doc_id"]: r["change_type"] for r in d.collect()}
+        assert got == {7: "changed", 9: "removed"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_snap_old")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new")
