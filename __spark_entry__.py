@@ -778,6 +778,17 @@ def q_winnowing(spark, sf_dir):
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_winnowing_overlap(spark, sf_dir):
+    """MOSS-style partial-overlap candidates: pairs sharing >= 3
+    winnowed fingerprints (md5_60 flavor — DuckDB recomputes the
+    fingerprint sets bit-for-bit and self-joins them, so both the pair
+    set and the exact shared counts are hash-gated)."""
+    from outliertree_spark.operators.text import winnowing_overlap_pairs
+    out = winnowing_overlap_pairs(_docs(spark, sf_dir), min_shared=3,
+                                  token_hash="md5_60")
+    return out.orderBy("id_a", "id_b")
+
+
 def _planted_embeddings(spark, sf_dir):
     """Deterministic near-dup plant: for vec_id % 20 == 0, a copy with
     +0.25 added to dimension 0 (cosine ~0.97 for these unit-norm
@@ -1031,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "fingerprints": q_fingerprints,
         "winnowing": q_winnowing,
+        "winnowing_overlap": q_winnowing_overlap,
         "ann_recall": q_ann_recall,
         "ivf_recall": q_ivf_recall,
         "ann_topk_recall": q_ann_topk_recall,
@@ -1134,6 +1146,31 @@ _PLANTED_EMB_SQL = """
                                             x -> CAST(x AS DOUBLE)))
           FROM embeddings WHERE vec_id % 20 = 0)
 """
+
+
+def _winnow_cte() -> str:
+    """Shared DuckDB chain: md5_60 winnowed fingerprint sets (k=5,
+    window=4) per document — used by the winnowing and winnowing_overlap
+    oracles so the fingerprint fixture can never drift."""
+    return r'''
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(toks) - 4),
+                         i -> CAST('0x' || substr(md5(
+                                  array_to_string(toks[i:i+4], ' ')), 1, 15)
+                              AS BIGINT)) AS h
+              FROM t WHERE len(toks) >= 5),
+            w AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(h) >= 4
+                          THEN list_transform(generate_series(1, len(h) - 3),
+                                              i -> list_min(h[i:i+3]))
+                          ELSE h END) AS mins
+              FROM sh)'''
 
 
 def _chunks_cte() -> str:
@@ -1783,26 +1820,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dups": _jaccard_pairs_sql(0.7),
         "simhash_dups": _simhash_pairs_sql(3),
-        "winnowing": """
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-              FROM documents),
-            sh AS (
-              SELECT doc_id,
-                     list_transform(generate_series(1, len(toks) - 4),
-                         i -> CAST('0x' || substr(md5(
-                                  array_to_string(toks[i:i+4], ' ')), 1, 15)
-                              AS BIGINT)) AS h
-              FROM t WHERE len(toks) >= 5),
-            w AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(h) >= 4
-                          THEN list_transform(generate_series(1, len(h) - 3),
-                                              i -> list_min(h[i:i+3]))
-                          ELSE h END) AS mins
-              FROM sh)
+        "winnowing": _winnow_cte() + """
             SELECT doc_id, unnest(mins) AS fp FROM w
+        """,
+        "winnowing_overlap": _winnow_cte() + """,
+            e AS (SELECT doc_id, unnest(mins) AS fp FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 3
+            ORDER BY id_a, id_b
         """,
         "fingerprints": """
             SELECT doc_id,

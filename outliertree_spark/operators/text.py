@@ -138,6 +138,37 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
                      F.array_distinct(mins).alias("fingerprints"))
 
 
+def winnowing_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 5,
+                            window: int = 4, min_shared: int = 2,
+                            token_hash: str = "xxhash64",
+                            bucket_cap: int | None = 10000) -> DataFrame:
+    """MOSS-style near-duplicate candidates: document pairs sharing at
+    least ``min_shared`` winnowed fingerprints — the classic local-overlap
+    detector that catches PARTIAL overlap (a shared paragraph, a quoted
+    block) which whole-document MinHash dilutes away.
+
+    Scale shape: fingerprints are built row-locally (no exchange), then
+    ONE ``bucket_pairs`` expansion keyed on the fingerprint value
+    generates in-bucket pairs, and a hash aggregate counts shared prints
+    per pair.  ``n_shared`` is exact because a document's fingerprint set
+    is distinct (``winnowing_fingerprints`` dedups) — each shared print
+    contributes exactly one pair row.  Fingerprints hotter than
+    ``bucket_cap`` documents are dropped like every LSH family bucket
+    (ubiquitous boilerplate prints carry no pair signal).  The
+    ``md5_60`` flavor is DuckDB-reproducible bit-for-bit — the oracle
+    path."""
+    from .similarity import bucket_pairs
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window,
+                                 token_hash)
+    e = fps.select(F.col(id_col), F.explode("fingerprints").alias("_fp"))
+    p = bucket_pairs(e, ["_fp"], [id_col], id_col, bucket_cap)
+    return (p.groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+
+
 def vocab_term_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: (term, doc_freq, term_freq) over lowercase

@@ -183,3 +183,22 @@ def test_unigram_lm_head_and_oov_floor(spark):
     assert abs(h1[2]["mean_logp"] - floor) < 1e-9
     assert abs(h1[1]["mean_logp"]
                - (2 * math.log(0.4) + floor) / 3) < 1e-9
+
+
+def test_winnowing_overlap_catches_partial_overlap(spark):
+    """A shared paragraph inside otherwise-different documents links the
+    pair (MOSS semantics); unrelated docs share nothing."""
+    from outliertree_spark.operators.text import winnowing_overlap_pairs
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta " + shared),
+         (2, shared + " one two three four five six seven eight nine"),
+         (3, "totally different words nothing in common here at all "
+             "more filler terms")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.n_shared
+           for r in winnowing_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in pair for pair in got)
+    # symmetric duplicates never emitted (id_a < id_b)
+    assert all(a < b for a, b in got)
