@@ -115,8 +115,30 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
     ``token_hash="md5_60"`` hashes shingles as the first 15 md5 hex chars
     (60-bit), which DuckDB reproduces bit-for-bit — the SQL-oracle path;
     ``"xxhash64"`` is the cheaper scale default.  Docs shorter than k
-    tokens yield an empty fingerprint array."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokens yield an empty fingerprint array.
+
+    The token array and the per-position hash array are each
+    materialized behind their own projection boundary: written as one
+    expression, Catalyst re-inlines them into every lambda position, so
+    the whole token split re-runs per shingle position and the whole
+    hash array per window position — O(P^2) work per document that
+    turned a seconds-scale sf0.1 job into a pinned-core multi-minute
+    one (measured).  With the boundaries the split and the hashing are
+    each O(P) and only the cheap ``array_min(slice(...))`` pass remains
+    O(P*W) long comparisons.  CollapseProject keeps both boundaries for
+    plain projections — but a Generate (``explode``) on top makes the
+    optimizer re-inline the whole chain anyway (measured: md5 x9 /
+    split x25 in the optimized plan, a pinned-core multi-minute job at
+    sf0.1), so the result is additionally cut from the optimizer with a
+    lazy ``localCheckpoint`` — the same rule as the minhash/simhash
+    signature tables in operators/dedup.py: the fingerprint table
+    (doc_id, array<long>) is exactly what a production pipeline
+    persists before pairing, and every downstream reference (explode,
+    pair expansion) reads it instead of re-deriving the text chain."""
+    from .dedup import _spread
+    toks_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d1 = _spread(df).select(F.col(id_col), toks_expr.alias("_wt"))
+    toks = F.col("_wt")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)
     if token_hash == "md5_60":
@@ -128,14 +150,17 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
             return F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     hashes = F.when(n >= k, F.transform(idx, _h)) \
               .otherwise(F.array().cast("array<long>"))
-    m = F.size(hashes)
+    d2 = d1.select(F.col(id_col), hashes.alias("_wh"))
+    h = F.col("_wh")
+    m = F.size(h)
     widx = F.sequence(F.lit(0), m - window)
     mins = F.when(m >= window,
                   F.transform(widx, lambda i: F.array_min(
-                      F.slice(hashes, i + 1, window)))) \
-            .otherwise(hashes)  # fewer hashes than a window: keep all
-    return df.select(F.col(id_col),
-                     F.array_distinct(mins).alias("fingerprints"))
+                      F.slice(h, i + 1, window)))) \
+            .otherwise(h)  # fewer hashes than a window: keep all
+    return d2.select(F.col(id_col),
+                     F.array_distinct(mins).alias("fingerprints")) \
+             .localCheckpoint(eager=False)
 
 
 def winnowing_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
