@@ -103,11 +103,26 @@ def shingle_hash_array(text_col: str = "text", k: int = 3):
 def shingle_rows(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) exploded DISTINCT k-word shingles (row-local build +
-    array_distinct before the explode, so the dedup is also shuffle-free)."""
-    df = _spread(df)
-    return (df.select(F.col(id_col),
-                      F.explode(F.array_distinct(shingle_array(text_col, k)))
-                       .alias("shingle")))
+    array_distinct before the explode, so the dedup is also shuffle-free).
+
+    The token array is materialized first and the shingle table is cut
+    from the optimizer with a lazy ``localCheckpoint``: exploding a
+    nested-HOF expression directly makes the optimizer re-inline the
+    token split into every shingle position — O(P^2) splitting per doc
+    (the same pathology measured and fixed in
+    ``text.winnowing_fingerprints``)."""
+    d1 = _spread(df).select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - k)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    arr = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+    d2 = d1.select(F.col(id_col),
+                   F.array_distinct(arr).alias("_sh")) \
+           .localCheckpoint(eager=False)
+    return d2.select(F.col(id_col), F.explode("_sh").alias("shingle"))
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 3,
