@@ -94,6 +94,16 @@ def contamination_scores(docs: DataFrame, benchmark: DataFrame,
     earlier two-pass shape (separate hits subplan left-joined back onto a
     recomputed per-doc gram count) built every gram twice and ran ~2x
     slower at sf0.1 (14s -> 6s).
+
+    Deliberately NOT localCheckpoint-ed (round-4 A/B: 1.13s -> 1.04s
+    warm minima at sf0.1, ~8%): the explode on top does make the
+    optimizer re-inline the gram expression into both ``size`` and the
+    Generate, but the recompute is bounded (x2 of a linear zip_with
+    chain), while a checkpoint would materialize ~640 B of gram array
+    per document — petabytes of intermediate storage at 10^12 docs to
+    save a bounded in-scan recompute.  Contrast
+    ``text.winnowing_fingerprints``, where the checkpoint is
+    load-bearing because the un-cut plan is O(P^2), not x2.
     """
     grams = (benchmark_grams(benchmark, bench_text_col, n, token_hash)
              .withColumn("_hit", F.lit(1)))
