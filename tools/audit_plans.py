@@ -225,6 +225,18 @@ def main() -> None:
         plan_of(quantile_screen(docs, "n_chars", ["lang"],
                                 with_exact=False))))
 
+    from outliertree_spark.operators.text import winnowing_overlap_pairs
+    sections.append((
+        "Winnowing partial-overlap pairs",
+        "Fingerprints are row-local and cut from the optimizer with a "
+        "lazy localCheckpoint (the ExistingRDD below) — without the cut, "
+        "a Generate on top makes Catalyst re-inline the nested-HOF "
+        "fingerprint expression into every window position (O(P^2) "
+        "hashing per doc, measured as a pinned-core multi-minute job).  "
+        "Pairing is ONE bucket_pairs exchange keyed on the print.",
+        plan_of(winnowing_overlap_pairs(docs.select("doc_id", "text"),
+                                        min_shared=3))))
+
     from outliertree_spark.operators.checks import snapshot_diff
     sections.append((
         "Snapshot-version delta check",
