@@ -64,6 +64,10 @@ def main(argv=None) -> int:
         ordinals[name] = levels.split("<")
 
     ledger = CheckpointLedger(args.checkpoint)
+    # the snapshot delta must see the FULL current table: under --resume
+    # `df` is filtered to unfinished partitions, and diffing the filtered
+    # frame would misread every row of a completed partition as removed
+    df_full = df
     if args.resume:
         df = ledger.filter_remaining(df, args.partition_col)
         if df.limit(1).count() == 0:
@@ -105,7 +109,7 @@ def main(argv=None) -> int:
                              "or --id-col")
         idc = list(dict.fromkeys(
             [args.partition_col] + ([args.id_col] if args.id_col else [])))
-        d = snapshot_diff(prev, df, [key])
+        d = snapshot_diff(prev, df_full, [key])
 
         def _shape(src, ct):
             rows = src.join(d.filter(F.col("change_type") == ct),
@@ -123,7 +127,7 @@ def main(argv=None) -> int:
                 F.concat(F.lit("row "), F.col("change_type"),
                          F.lit(" vs previous snapshot")).alias("explanation"))
 
-        snap = _shape(df, "changed").unionByName(_shape(prev, "removed"))
+        snap = _shape(df_full, "changed").unionByName(_shape(prev, "removed"))
         snap.write.mode("append").parquet(args.violations_out)
 
     ledger.record_verdicts(verdicts, args.partition_col,

@@ -202,3 +202,48 @@ def test_cli_prev_snapshot(spark, tmp_path):
     assert got == {42: "changed", 5000: "removed"}
     # removed row attributed to its partition in the previous snapshot
     assert set(snap[snap["doc_id"] == 5000]["bucket"]) == {0}
+
+
+def test_cli_prev_snapshot_with_resume(spark, tmp_path):
+    """--resume filters df to unfinished partitions; the snapshot diff
+    must still see the FULL table, or every row of a completed partition
+    reads as 'removed'."""
+    src = str(tmp_path / "docs.parquet")
+    prev = str(tmp_path / "prev.parquet")
+    n = 1200
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text_len": np.random.RandomState(3).lognormal(5, 0.3, n),
+        "bucket": np.arange(n) % 3,
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    ppdf = pdf.copy()
+    ppdf.loc[10, "text_len"] = 2.0           # changed in bucket 1
+    spark.createDataFrame(ppdf).write.mode("overwrite").parquet(prev)
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    vout = str(tmp_path / "violations.parquet")
+    model = str(tmp_path / "model.json")
+    base = [sys.executable, "scripts/run_validate.py",
+            "--input", src, "--partition-col", "bucket",
+            "--id-col", "doc_id", "--checkpoint", ledger,
+            "--violations-out", vout, "--master", "local[2]"]
+    # first run: full, writes the ledger for all 3 buckets
+    r = subprocess.run(base + ["--model-out", model],
+                       capture_output=True, text=True, timeout=420, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # simulate one unfinished partition, then resume WITH the snapshot
+    lines = open(ledger).read().strip().splitlines()
+    kept = [l for l in lines
+            if str(json.loads(l).get("partition")) != "2"]
+    open(ledger, "w").write("\n".join(kept) + "\n")
+    r2 = subprocess.run(base + ["--resume", "--model-in", model,
+                                "--prev-snapshot", prev],
+                        capture_output=True, text=True, timeout=420, cwd=".")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    viols = spark.read.parquet(vout).toPandas()
+    snap = viols[viols["suspicious_column"] == "snapshot_delta"]
+    # ONLY the genuinely-changed row appears; no phantom 'removed' rows
+    # from the completed buckets 0/1
+    assert set(snap["doc_id"]) == {10}
+    assert set(snap["suspicious_value"]) == {"changed"}
