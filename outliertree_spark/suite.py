@@ -7,6 +7,7 @@ verdicts — the full north-rule validation in a single run.
              .add_referential(parent_df, child_key="ref_id",
                               parent_key="id", name="ref_ids")
              .add_timestamp_range("warc_ts", "2024-01-01", "2024-02-01")
+             .add_snapshot_delta(previous_df, "url")
              .add_drift_baseline(baseline_df, "lang", max_psi=0.2))
     suite.fit(df, id_cols=["doc_id"])
     violations, verdicts = suite.run(df, partition_col="warc_bucket")
