@@ -547,6 +547,38 @@ def q_topk_cosine(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def q_dataset_card(spark, sf_dir):
+    """Per-language dataset card — the standard summary artifact a
+    training-data pipeline publishes next to the data: document and
+    token counts, byte-exact length stats, mean quality score and mean
+    unigram-LM surprisal, and the exact-duplicate rate.  One composition
+    of the proven operators (quality_features, unigram_lm_scores, exact
+    dedup group-by); three aggregates joined on lang, all map-side
+    combined.  Floats rounded @4 so the hash gate compares stably."""
+    from outliertree_spark.operators.text import (quality_features,
+                                                  unigram_lm_scores)
+    d = _docs(spark, sf_dir)
+    q = quality_features(d).select("doc_id", "lang", "n_chars",
+                                   "n_tokens", "quality_score")
+    base = (q.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("total_tokens"),
+                  F.sum("n_chars").alias("total_chars"),
+                  F.round(F.avg("quality_score"), 4).alias("avg_quality")))
+    lm = (unigram_lm_scores(d).join(d.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(F.round(F.avg("mean_logp"), 4).alias("avg_logp")))
+    dup = (d.groupBy("lang", F.md5("text").alias("_h"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("lang")
+            .agg((F.sum("_n") - F.count(F.lit(1))).cast("long")
+                 .alias("n_dup_docs")))
+    return (base.join(lm, "lang").join(dup, "lang")
+                .select("lang", "n_docs", "total_tokens", "total_chars",
+                        "avg_quality", "avg_logp", "n_dup_docs")
+                .orderBy("lang"))
+
+
 def q_verdicts_by_source(spark, sf_dir):
     """Declared-rule per-partition verdict: n_chars outside [60, 520]."""
     d = _docs(spark, sf_dir)
@@ -1030,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm": q_unigram_lm,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
+        "dataset_card": q_dataset_card,
         "verdicts_by_source": q_verdicts_by_source,
         "embedding_norms": q_embedding_norms,
         "supplier_agg_rollup": q_supplier_agg_rollup,
@@ -1709,6 +1742,54 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN score <= 0 THEN 'und' ELSE lang END AS lang_pred
             FROM ranked WHERE rn = 1
         """,
+        "dataset_card": r"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST({nt} AS DOUBLE) AS n_tokens,
+                       CAST(length(text) - length(regexp_replace(text,
+                            '[.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                       CAST({ss} AS DOUBLE) AS stop
+                FROM documents),
+            q AS (
+                SELECT doc_id, lang, n_chars, n_tokens,
+                       least(n_tokens / 100.0, 1.0) * 0.4
+                       + (1.0 - least(CASE WHEN n_chars > 0
+                                           THEN punct / n_chars ELSE 0.0 END
+                                      * 5.0, 1.0)) * 0.3
+                       + least(CASE WHEN n_tokens > 0 THEN stop / n_tokens
+                                    ELSE 0.0 END * 5.0, 1.0) * 0.3
+                         AS quality
+                FROM t),
+            tr AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS term
+              FROM documents),
+            v AS (SELECT term, count(*) AS tf FROM tr GROUP BY term),
+            tot AS (SELECT sum(tf) AS total FROM v),
+            lmdoc AS (
+              SELECT doc_id, avg(ln(CAST(tf AS DOUBLE) / total)) AS mlp
+              FROM tr JOIN v USING (term), tot GROUP BY doc_id),
+            lm AS (
+              SELECT lang, round(avg(mlp), 4) AS avg_logp
+              FROM lmdoc JOIN documents USING (doc_id) GROUP BY lang),
+            base AS (
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     round(avg(quality), 4) AS avg_quality
+              FROM q GROUP BY lang),
+            dup AS (
+              SELECT lang, CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+              FROM (SELECT lang, md5(text) AS h, count(*) AS n
+                    FROM documents GROUP BY lang, md5(text))
+              GROUP BY lang)
+            SELECT lang, n_docs, total_tokens, total_chars,
+                   avg_quality, avg_logp, n_dup_docs
+            FROM base JOIN lm USING (lang) JOIN dup USING (lang)
+            ORDER BY lang
+        """.replace("{nt}", n_tokens).replace("{ss}", stop_sum),
         "unigram_lm": r"""
             WITH tr AS (
               SELECT doc_id, unnest(list_filter(

@@ -316,7 +316,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "orphan_hosts", "url_dup_groups", "training_pipeline",
              "ann_topk_recall", "outlier_validate_root",
              "paragraph_dedup", "unigram_lm", "length_quantiles",
-             "snapshot_diff", "winnowing_overlap", "winnowing"]
+             "snapshot_diff", "winnowing_overlap", "winnowing",
+             "dataset_card"]
     qs = entrymod.queries()
     out = {}
     for name in names:
