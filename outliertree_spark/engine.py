@@ -594,7 +594,9 @@ class CheckpointLedger:
             with open(self.path) as f:
                 for line in f:
                     if line.strip():
-                        done.add(json.loads(line)["partition"])
+                        d = json.loads(line)
+                        if "partition" in d:  # marker lines have no partition
+                            done.add(d["partition"])
         return done
 
     def record(self, partition, verdict: dict, lineage: dict | None = None) -> None:
@@ -602,6 +604,23 @@ class CheckpointLedger:
                  "verdict": verdict, "lineage": lineage or {}}
         with open(self.path, "a") as f:
             f.write(json.dumps(entry, default=str) + "\n")
+
+    def record_marker(self, name: str, info: dict | None = None) -> None:
+        """Record a non-partition completion marker (e.g. that the
+        snapshot-delta check already wrote its violations), so repeated
+        or resumed invocations can skip re-appending side outputs."""
+        entry = {"marker": name, "ts": time.time(), "info": info or {}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry, default=str) + "\n")
+
+    def has_marker(self, name: str) -> bool:
+        if not os.path.exists(self.path):
+            return False
+        with open(self.path) as f:
+            for line in f:
+                if line.strip() and json.loads(line).get("marker") == name:
+                    return True
+        return False
 
     def filter_remaining(self, df: DataFrame, partition_col: str) -> DataFrame:
         done = self.done_partitions()

@@ -65,21 +65,33 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     never the join input.
 
     Content identity is md5 over the ``compare_cols`` (default: all
-    shared non-key columns, in ``old``'s column order), null-safe via a
-    per-column sentinel.  Scale shape: each side reduces to (key, digest)
-    in the scan — content bytes never shuffle — then ONE co-partitioned
-    full-outer join on the key; on bucketed tables (sources/bucketed.py)
-    the exchange disappears entirely."""
+    shared non-key columns, in ``old``'s column order).  Each column is
+    encoded self-delimitingly before concatenation — ``<charlen>:<value>``
+    for non-null values, the bare token ``N`` for NULL — so a value
+    containing any separator-like bytes cannot realign across adjacent
+    columns, and no string value can collide with NULL (length-prefixed
+    tokens always start with a digit).  Non-string columns are compared
+    via their canonical string casts — two values are "changed" iff
+    their casts differ (documented caveat: binary-identical but
+    cast-equal values, e.g. -0.0 vs 0.0, compare unchanged).  Scale
+    shape: each side reduces to (key, digest) in the scan — content
+    bytes never shuffle — then ONE co-partitioned full-outer join on
+    the key; on bucketed tables (sources/bucketed.py) the exchange
+    disappears entirely."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
 
     def _digest(df: DataFrame, alias: str) -> DataFrame:
-        parts = [F.coalesce(qcol(c).cast("string"), F.lit("\x00null"))
-                 for c in compare_cols]
+        def _enc(c):
+            s = qcol(c).cast("string")
+            return F.coalesce(
+                F.concat(F.length(s).cast("string"), F.lit(":"), s),
+                F.lit("N"))
+        parts = [_enc(c) for c in compare_cols]
         return df.select(*[qcol(k).alias(k) for k in keys],
-                         F.md5(F.concat_ws("\x01", *parts)).alias(alias))
+                         F.md5(F.concat(*parts)).alias(alias))
 
     j = _digest(old, "_h_old").join(_digest(new, "_h_new"), keys,
                                     "full_outer")

@@ -174,7 +174,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k_shingle: int = 3,
                            n_hashes: int = 64, n_bands: int = 16,
                            seed: int = 42,
-                           bucket_cap: int | None = 10000) -> DataFrame:
+                           bucket_cap: int = 10000) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding:
     explode signatures into (band, band_hash) buckets, self-join buckets
     (cap-guarded)."""
@@ -299,7 +299,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
                       n_blocks: int = 4, bits: int = 64,
                       token_hash: str = "xxhash64",
-                      bucket_cap: int | None = 10000) -> DataFrame:
+                      bucket_cap: int = 10000) -> DataFrame:
     """Near-dup pairs by SimHash: block the hash into ``n_blocks`` keys
     (pigeonhole: <= n_blocks-1 differing bits -> one block identical, so
     recall is EXACT for max_hamming < n_blocks), bucket-join on each
@@ -344,7 +344,7 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         min_cosine: float = 0.95,
                         n_tables: int = 16, n_planes: int = 8,
                         seed: int = 42,
-                        bucket_cap: int | None = 10000) -> DataFrame:
+                        bucket_cap: int = 10000) -> DataFrame:
     """Embedding-cosine near-dups: banded sign-LSH candidate join
     (OR-construction over ``n_tables`` tables of ``n_planes`` Gaussian
     hyperplanes — recall ~94% at cosine 0.8, >0.999 at 0.95 with the

@@ -72,7 +72,7 @@ def ivf_near_dups(emb: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", min_cosine: float = 0.95,
                   k_cells: int = 64, n_assign: int = 2,
                   sample_rows: int = 20000, seed: int = 42,
-                  bucket_cap: int | None = 10000,
+                  bucket_cap: int = 10000,
                   centroids: np.ndarray | None = None) -> DataFrame:
     """Near-duplicate pairs via IVF cells: multi-assign each vector to its
     top ``n_assign`` cells, self-join per cell (cap-guarded), exact cosine

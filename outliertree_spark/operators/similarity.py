@@ -124,7 +124,7 @@ def oversized_buckets(exploded: DataFrame, key_cols: list[str],
 
 def bucket_pairs(exploded: DataFrame, key_cols: list[str],
                  payload: list[str], id_col: str,
-                 bucket_cap: int | None) -> DataFrame:
+                 bucket_cap: int) -> DataFrame:
     """All unordered in-bucket pairs via ONE exchange.
 
     Group each bucket into an array of ``payload`` structs, enforce the
@@ -137,15 +137,27 @@ def bucket_pairs(exploded: DataFrame, key_cols: list[str],
     equivalence run: 178,129 pairs at sf0.1, equal sets); measured A/B
     interleaved minima on the simhash pairing stage: 0.74s -> 0.54s.
 
-    Worst case is the same as the join's: one capped hot bucket expands
-    to cap^2 pairs in one task either way (bucket key = one partition);
-    rows stream through the Generate, nothing is held.  Returns structs
-    ``a`` and ``b`` with the payload fields."""
+    Memory shape: collect_list holds each bucket's membership array in
+    one aggregation buffer, so a bucket costs up to ``bucket_cap``
+    payload structs of executor memory before the cap filter drops it
+    (the pair expansion itself then streams through the two Generates).
+    That bounded buffer is exactly why the cap is REQUIRED here: with
+    no cap one degenerate hot bucket (zero vectors, boilerplate text)
+    would materialize the whole bucket in a single task's buffer — the
+    OOM twin of the quadratic join this shape replaced.  Callers that
+    truly want uncapped pairing at toy scale must pass an explicit
+    large cap.  Returns structs ``a`` and ``b`` with the payload
+    fields."""
+    if bucket_cap is None:
+        raise ValueError(
+            "bucket_pairs requires a finite bucket_cap: an uncapped "
+            "collect_list materializes entire hot buckets in one "
+            "aggregation buffer (single-task OOM at scale). Pass an "
+            "explicit large cap if you really want near-uncapped "
+            "pairing.")
     st = F.struct(*[F.col(c) for c in payload])
     g = exploded.groupBy(*key_cols).agg(F.collect_list(st).alias("_m"))
-    g = g.filter(F.size("_m") >= 2)
-    if bucket_cap is not None:
-        g = g.filter(F.size("_m") <= bucket_cap)
+    g = g.filter((F.size("_m") >= 2) & (F.size("_m") <= bucket_cap))
     a = g.select("_m", F.explode("_m").alias("a"))
     return (a.select("a", F.explode("_m").alias("b"))
              .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -154,7 +166,7 @@ def bucket_pairs(exploded: DataFrame, key_cols: list[str],
 def banded_lsh_pairs(emb: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", n_tables: int = 16,
                      n_planes: int = 8, seed: int = 42,
-                     bucket_cap: int | None = 10000) -> DataFrame:
+                     bucket_cap: int = 10000) -> DataFrame:
     """Candidate pairs (id_a < id_b) colliding in >= 1 of the L tables."""
     b = emb.select(F.col(id_col), F.col(vec_col),
                    lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
@@ -198,7 +210,7 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", n_tables: int = 16,
              n_planes: int = 8, seed: int = 42,
-             bucket_cap: int | None = 10000) -> DataFrame:
+             bucket_cap: int = 10000) -> DataFrame:
     """Approximate top-k: candidates share >= 1 of the query's L band
     buckets (OR-construction), exact cosine re-rank after.  Recall rises
     with n_tables and falls with n_planes; at scale the bucket join

@@ -167,7 +167,7 @@ def winnowing_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", k: int = 5,
                             window: int = 4, min_shared: int = 2,
                             token_hash: str = "xxhash64",
-                            bucket_cap: int | None = 10000) -> DataFrame:
+                            bucket_cap: int = 10000) -> DataFrame:
     """MOSS-style near-duplicate candidates: document pairs sharing at
     least ``min_shared`` winnowed fingerprints — the classic local-overlap
     detector that catches PARTIAL overlap (a shared paragraph, a quoted

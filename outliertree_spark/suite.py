@@ -133,7 +133,13 @@ class ValidationSuite:
                 removed = previous.join(
                     d.filter(F.col("change_type") == "removed"), keys,
                     "inner")
-                out = changed.unionByName(removed)
+                # snapshots may have evolved schemas (a column added or
+                # dropped between versions); snapshot_diff already
+                # compares only shared columns, so the union must not
+                # require byte-identical schemas either — sides fill
+                # each other's missing columns with nulls
+                out = changed.unionByName(removed,
+                                          allowMissingColumns=True)
             return out.withColumn("_check_value", F.col("change_type"))
 
         self._checks.append(_Check(nm, "snapshot_delta", fn))

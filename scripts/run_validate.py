@@ -26,6 +26,59 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _snapshot_check(spark, ledger, args, df_full) -> bool:
+    """Cross-snapshot check (north rule): changed rows are violations in
+    their current partition, silently-removed rows in their old one;
+    additions are growth.  Shaped to the engine's violation schema so
+    one parquet sink carries both check families.
+
+    Idempotent across repeated/resumed invocations: completion is
+    recorded as a ledger marker keyed by the previous-snapshot path, and
+    the append is skipped when the marker is present — otherwise every
+    rerun with --prev-snapshot would duplicate the full snapshot_delta
+    row set in the output parquet.  Returns True iff the append ran."""
+    if not args.prev_snapshot:
+        return False
+    marker = f"snapshot_delta::{args.prev_snapshot}"
+    if ledger.has_marker(marker):
+        print("snapshot check already recorded in ledger; skipping",
+              file=sys.stderr)
+        return False
+
+    from pyspark.sql import functions as F
+
+    from outliertree_spark.operators.checks import snapshot_diff
+    prev = spark.read.parquet(args.prev_snapshot)
+    key = args.snapshot_key or args.id_col
+    if not key:
+        raise SystemExit("--prev-snapshot requires --snapshot-key "
+                         "or --id-col")
+    idc = list(dict.fromkeys(
+        [args.partition_col] + ([args.id_col] if args.id_col else [])))
+    d = snapshot_diff(prev, df_full, [key])
+
+    def _shape(src, ct):
+        rows = src.join(d.filter(F.col("change_type") == ct),
+                        [key], "inner")
+        return rows.select(
+            *idc,
+            F.lit("snapshot_delta").alias("suspicious_column"),
+            F.col("change_type").alias("suspicious_value"),
+            F.lit(None).cast("double").alias("suspicious_value_num"),
+            F.lit(None).cast("string").alias("group_statistics"),
+            F.lit(None).cast("string").alias("conditions"),
+            F.lit(None).cast("long").alias("tree_depth"),
+            F.lit(None).cast("boolean").alias("uses_NA_branch"),
+            F.lit(None).cast("double").alias("outlier_score"),
+            F.concat(F.lit("row "), F.col("change_type"),
+                     F.lit(" vs previous snapshot")).alias("explanation"))
+
+    snap = _shape(df_full, "changed").unionByName(_shape(prev, "removed"))
+    snap.write.mode("append").parquet(args.violations_out)
+    ledger.record_marker(marker, {"violations_out": args.violations_out})
+    return True
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="parquet path or table")
@@ -71,8 +124,12 @@ def main(argv=None) -> int:
     if args.resume:
         df = ledger.filter_remaining(df, args.partition_col)
         if df.limit(1).count() == 0:
+            # partitions all done, but the snapshot check may still owe
+            # its (idempotent, marker-guarded) violation append
+            snap_ran = _snapshot_check(spark, ledger, args, df_full)
             print(json.dumps({"status": "nothing-to-do",
-                              "done": len(ledger.done_partitions())}))
+                              "done": len(ledger.done_partitions()),
+                              "snapshot_check_ran": snap_ran}))
             return 0
 
     if args.model_in:
@@ -94,41 +151,7 @@ def main(argv=None) -> int:
         max_violation_rate=args.max_violation_rate)
     viols.write.mode("append").parquet(args.violations_out)
 
-    if args.prev_snapshot:
-        # cross-snapshot check (north rule): changed rows are violations
-        # in their current partition, silently-removed rows in their old
-        # one; additions are growth.  Shaped to the engine's violation
-        # schema so one parquet sink carries both check families.
-        from pyspark.sql import functions as F
-
-        from outliertree_spark.operators.checks import snapshot_diff
-        prev = spark.read.parquet(args.prev_snapshot)
-        key = args.snapshot_key or args.id_col
-        if not key:
-            raise SystemExit("--prev-snapshot requires --snapshot-key "
-                             "or --id-col")
-        idc = list(dict.fromkeys(
-            [args.partition_col] + ([args.id_col] if args.id_col else [])))
-        d = snapshot_diff(prev, df_full, [key])
-
-        def _shape(src, ct):
-            rows = src.join(d.filter(F.col("change_type") == ct),
-                            [key], "inner")
-            return rows.select(
-                *idc,
-                F.lit("snapshot_delta").alias("suspicious_column"),
-                F.col("change_type").alias("suspicious_value"),
-                F.lit(None).cast("double").alias("suspicious_value_num"),
-                F.lit(None).cast("string").alias("group_statistics"),
-                F.lit(None).cast("string").alias("conditions"),
-                F.lit(None).cast("long").alias("tree_depth"),
-                F.lit(None).cast("boolean").alias("uses_NA_branch"),
-                F.lit(None).cast("double").alias("outlier_score"),
-                F.concat(F.lit("row "), F.col("change_type"),
-                         F.lit(" vs previous snapshot")).alias("explanation"))
-
-        snap = _shape(df_full, "changed").unionByName(_shape(prev, "removed"))
-        snap.write.mode("append").parquet(args.violations_out)
+    _snapshot_check(spark, ledger, args, df_full)
 
     ledger.record_verdicts(verdicts, args.partition_col,
                            lineage={"input": args.input,

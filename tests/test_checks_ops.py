@@ -373,6 +373,24 @@ def test_snapshot_diff_semantics(spark):
     assert got == {2: "changed", 3: "removed", 4: "added", 5: "changed"}
 
 
+def test_snapshot_diff_no_separator_realignment_or_null_collision(spark):
+    """Regression for the digest-ambiguity finding: values containing
+    separator-like bytes must not realign across adjacent columns, and
+    no literal string may collide with NULL.  With the old
+    concat_ws('\\x01') scheme both rows below hashed equal and were
+    silently reported unchanged."""
+    from outliertree_spark.operators.checks import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a\x01b", "c"), (2, None, "z")],
+        "k long, c1 string, c2 string")
+    new = spark.createDataFrame(
+        [(1, "a", "b\x01c"), (2, "\x00null", "z")],
+        "k long, c1 string, c2 string")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "changed", 2: "changed"}
+
+
 def test_snapshot_diff_dotted_and_subset_cols(spark):
     from outliertree_spark.operators.checks import snapshot_diff
     old = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")],

@@ -155,8 +155,12 @@ def test_bucket_pairs_cap_and_pairing(spark):
     got = {(r["a"]["id"], r["b"]["id"]) for r in p.collect()}
     assert got == {(0, 1), (0, 2), (1, 2)}  # both 3-buckets, same ids
     assert p.count() == 6                    # 3 pairs per surviving bucket
-    # cap None keeps the hot bucket: C(10,2) + 2*C(3,2)
-    assert bucket_pairs(df, ["key"], ["id"], "id", None).count() == 45 + 6
+    # a large explicit cap keeps the hot bucket: C(10,2) + 2*C(3,2)
+    assert bucket_pairs(df, ["key"], ["id"], "id", 10**6).count() == 45 + 6
+    # cap None is rejected: an uncapped collect_list materializes whole
+    # hot buckets in one aggregation buffer (single-task OOM at scale)
+    with pytest.raises(ValueError, match="bucket_cap"):
+        bucket_pairs(df, ["key"], ["id"], "id", None)
 
 
 def test_shingle_plan_has_no_window_or_pre_agg_shuffle(spark, docs):

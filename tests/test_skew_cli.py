@@ -247,3 +247,60 @@ def test_cli_prev_snapshot_with_resume(spark, tmp_path):
     # from the completed buckets 0/1
     assert set(snap["doc_id"]) == {10}
     assert set(snap["suspicious_value"]) == {"changed"}
+    assert len(snap) == 1
+
+    # rerunning the SAME resume command must not duplicate the
+    # snapshot_delta rows: completion is marker-recorded in the ledger
+    r3 = subprocess.run(base + ["--resume", "--model-in", model,
+                                "--prev-snapshot", prev],
+                        capture_output=True, text=True, timeout=420, cwd=".")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    out3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert out3["status"] == "nothing-to-do"
+    assert out3["snapshot_check_ran"] is False
+    viols3 = spark.read.parquet(vout).toPandas()
+    snap3 = viols3[viols3["suspicious_column"] == "snapshot_delta"]
+    assert len(snap3) == 1, "snapshot rows duplicated on rerun"
+
+
+def test_cli_snapshot_runs_on_nothing_to_do_resume(spark, tmp_path):
+    """A resume with zero remaining partitions still owes the snapshot
+    check when it has never run (no ledger marker): the early
+    nothing-to-do exit must append the snapshot_delta rows exactly
+    once."""
+    src = str(tmp_path / "docs.parquet")
+    prev = str(tmp_path / "prev.parquet")
+    n = 900
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text_len": np.random.RandomState(5).lognormal(5, 0.3, n),
+        "bucket": np.arange(n) % 3,
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    ppdf = pdf.copy()
+    ppdf.loc[7, "text_len"] = 123.0
+    spark.createDataFrame(ppdf).write.mode("overwrite").parquet(prev)
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    vout = str(tmp_path / "violations.parquet")
+    model = str(tmp_path / "model.json")
+    base = [sys.executable, "scripts/run_validate.py",
+            "--input", src, "--partition-col", "bucket",
+            "--id-col", "doc_id", "--checkpoint", ledger,
+            "--violations-out", vout, "--master", "local[2]"]
+    # first run completes all partitions WITHOUT a snapshot check
+    r = subprocess.run(base + ["--model-out", model],
+                       capture_output=True, text=True, timeout=420, cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    # resume with --prev-snapshot: no partitions remain, but the
+    # snapshot check has no marker yet -> it must run now
+    r2 = subprocess.run(base + ["--resume", "--model-in", model,
+                                "--prev-snapshot", prev],
+                        capture_output=True, text=True, timeout=420, cwd=".")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["status"] == "nothing-to-do"
+    assert out2["snapshot_check_ran"] is True
+    viols = spark.read.parquet(vout).toPandas()
+    snap = viols[viols["suspicious_column"] == "snapshot_delta"]
+    assert list(snap["doc_id"]) == [7] and len(snap) == 1

@@ -89,3 +89,29 @@ def test_suite_snapshot_delta(spark, data):
     assert 17 not in got              # additions are growth, not violations
     # removed doc 4000 carried bucket 0 from the previous snapshot
     assert set(snap[snap["doc_id"] == 4000]["bucket"]) == {0}
+
+
+def test_suite_snapshot_delta_evolved_schema(spark, data):
+    """Ordinary schema evolution (a column added in the new snapshot)
+    must not break the changed/removed union: snapshot_diff compares
+    only shared columns, and the violation union fills the missing
+    column with nulls instead of raising."""
+    df, parent, baseline = data
+    cur = df.withColumn("fetch_ms", (F.col("doc_id") * 3).cast("long"))
+    prev = (df.filter(F.col("doc_id") != 17)
+              .withColumn("text_len",
+                          F.when(F.col("doc_id") == 21, F.lit(1.0))
+                           .otherwise(F.col("text_len"))))
+    extra = prev.filter(F.col("doc_id") == 0).withColumn(
+        "doc_id", F.lit(4000).cast("long"))
+    prev = prev.unionByName(extra)      # prev has NO fetch_ms column
+    suite = (ValidationSuite(ValidationConfig())
+             .add_snapshot_delta(prev, "doc_id",
+                                 compare_cols=["text_len", "lang"]))
+    suite.fit(cur, id_cols=["doc_id"],
+              cols_ignore=["bucket", "url", "ref_id", "fetch_ms"])
+    viols, _ = suite.run(cur, partition_col="bucket", id_cols=["doc_id"])
+    vp = viols.toPandas()
+    snap = vp[vp["check"] == "snapshot_doc_id"]
+    got = dict(zip(snap["doc_id"], snap["check_value"]))
+    assert got[21] == "changed" and got[4000] == "removed"
