@@ -228,12 +228,25 @@ class SparkOutlierTree:
         keep_ids = [c for c in (id_cols or []) if c in df.columns]
         sdf = df.select(*[qcol(c) for c in
                           dict.fromkeys(keep_ids + fit_names)])
-        if n_rows is None:
-            n_rows = sdf.count()
-        if n_rows > cfg.max_fit_rows:
+        # Bounded fit sample, one action on the common path: probe with
+        # limit(max_fit_rows + 1) — CollectLimit executes incrementally
+        # (first partition, then 4x more per round), so when the input
+        # fits the cap this single early-exit job IS the whole fit read
+        # (the old shape always ran a separate count job first).  Only
+        # when the probe overflows (input larger than the cap) does the
+        # scale path run the count + seeded Bernoulli sample — and that
+        # probe cost max_fit_rows+1 rows, not a scan.  A top-k-by-hash
+        # one-pass sample was considered instead and rejected:
+        # TakeOrderedAndProject merges per-partition top-k on the
+        # driver, which is partitions x max_fit_rows rows at 100 TB.
+        probe = sdf.limit(cfg.max_fit_rows + 1).toPandas()
+        if len(probe) <= cfg.max_fit_rows:
+            pdf = probe
+        else:
+            if n_rows is None:
+                n_rows = sdf.count()  # zero-column scan: footer-driven
             frac = min(1.0, cfg.max_fit_rows / float(n_rows))
-            sdf = sdf.sample(fraction=frac, seed=cfg.seed)
-        pdf = sdf.toPandas()
+            pdf = sdf.sample(fraction=frac, seed=cfg.seed).toPandas()
         if len(pdf) < 20:  # reference _check_valid_data, __init__.py:450-475
             raise ValueError(f"fit sample has only {len(pdf)} rows (< 20)")
         cols = pandas_to_fit_columns(pdf, kinds, ordinal_cols)

@@ -57,6 +57,33 @@ def test_fit_predict_flags_planted_rows(spark, docs_df):
     assert len(flagged) < 40
 
 
+def test_fit_single_job_when_input_fits_cap(spark, docs_df):
+    """The fit-stage read is ONE Spark job when the input fits
+    max_fit_rows (the old shape always ran a separate count job before
+    the collect — two scans on the flagship path)."""
+    docs_df.count()  # materialize any lazy createDataFrame work first
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    eng = SparkOutlierTree(ValidationConfig())
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before == 1, f"fit ran {after - before} jobs, want 1"
+
+
+def test_fit_sample_capped_when_input_exceeds_cap(spark, docs_df):
+    """Inputs over max_fit_rows fall back to the bounded Bernoulli
+    sample: the fit pandas frame stays near the cap, never the full
+    table."""
+    cfg = ValidationConfig(max_fit_rows=1000)
+    eng = SparkOutlierTree(cfg)
+    eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    assert 700 <= len(eng._fit_pdf) <= 1400  # ~1000 of 4000, Bernoulli
+    # deterministic: same seed -> same sample
+    eng2 = SparkOutlierTree(ValidationConfig(max_fit_rows=1000))
+    eng2.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
+    assert list(eng._fit_pdf["doc_id"]) == list(eng2._fit_pdf["doc_id"])
+
+
 def test_prefilter_is_selective(spark, docs_df):
     eng = SparkOutlierTree(ValidationConfig())
     eng.fit(docs_df, id_cols=["doc_id"], cols_ignore=["bucket"])
