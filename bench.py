@@ -303,6 +303,36 @@ def run_pruned_ladder(eng, pruned_docs: int) -> dict:
                 round((hi / lo) / (CPUS / LOW_PAR), 3)}
 
 
+def ann_path_timings(spark, sf_dir) -> dict[str, float]:
+    """Per-path seconds for the ann_topk_recall fixture: the query's
+    cost is dominated by its deliberate brute-force exactness baseline
+    (fixture-only — never the scale path), so the suite number alone
+    cannot show whether the ANN paths themselves regressed.  Times each
+    path alone to a noop sink, warm (the headline loop has already run
+    the composed query once)."""
+    import __spark_entry__ as entrymod  # noqa: F401  (sys.path side effect)
+    from pyspark.sql import functions as F
+    from outliertree_spark.operators.ivf import ivf_topk
+    from outliertree_spark.operators.similarity import (brute_force_topk,
+                                                        lsh_topk)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    embd = emb.select("vec_id", as_double.alias("embedding"))
+    q = (embd.filter(F.col("vec_id") < 20)
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+    paths = {
+        "brute": lambda: brute_force_topk(embd, q, k=10),
+        "lsh": lambda: lsh_topk(embd, q, k=10, n_tables=16, n_planes=4),
+        "ivf": lambda: ivf_topk(embd, q, k=10, k_cells=32, nprobe=8),
+    }
+    out = {}
+    for name, build in paths.items():
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
 def run_headline_queries(spark, sf_dir) -> dict[str, float]:
     import __spark_entry__ as entrymod
     names = ["pricing_summary", "duplicate_keys", "referential_orphans",
@@ -317,7 +347,7 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "ann_topk_recall", "outlier_validate_root",
              "paragraph_dedup", "unigram_lm", "length_quantiles",
              "snapshot_diff", "winnowing_overlap", "winnowing",
-             "dataset_card"]
+             "dataset_card", "unigram_lm_head"]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -396,8 +426,16 @@ def main() -> None:
     jvm = run_ladder(model_path, TARGET_DOCS, [LOW_PAR, CPUS],
                      rounds=1, use_score=True)
 
+    # fixed-cost host probe BEFORE the query suite: the round-4 artifact
+    # showed ~12 untouched queries drifting +20-30% in lockstep with the
+    # host's memory bandwidth — bracketing the suite with the same probe
+    # lets a reader separate host noise from plan regressions in one
+    # read (queries run at CPUS, so probe at CPUS)
+    bw_before = membw_probe([CPUS])[CPUS]
+
     spark = make_session(CPUS)
     queries = run_headline_queries(spark, SF_DIR)
+    ann_paths = ann_path_timings(spark, SF_DIR)
     # headline validate timing at CPUS on the 20M table (same number the
     # suite has always reported)
     eng = SparkOutlierTree.load(model_path)
@@ -409,6 +447,16 @@ def main() -> None:
     # single-box ceiling evidence for the N->4N criterion (see membw_probe)
     bw = membw_probe([LOW_PAR, CPUS])
     bw_eff = (bw[CPUS] / bw[LOW_PAR]) / (CPUS / LOW_PAR)
+
+    # normalize each query to a reference host speed: sec * (measured
+    # gbps / reference gbps) estimates what the query would have taken
+    # in the reference window.  The reference constant is the CPUS-proc
+    # aggregate bandwidth recorded in BASELINE.md's clean-window entry;
+    # override with BENCH_PROBE_REF_GBPS when re-baselining.
+    probe_gbps = round((bw_before + bw[CPUS]) / 2.0, 1)
+    ref_gbps = float(os.environ.get("BENCH_PROBE_REF_GBPS", "70.0"))
+    norm = round(probe_gbps / ref_gbps, 3)
+    queries_norm = {k: round(v * norm, 3) for k, v in queries.items()}
 
     pruned = run_pruned_ladder(
         SparkOutlierTree.load(model_path),
@@ -432,6 +480,18 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {**queries, "validate_20M_docs": round(sec20, 3)},
+        # host-speed-normalized twin of `queries` (see probe comments):
+        # raw/normalized diverging together across the suite = host
+        # noise; one query moving alone = a plan change
+        "queries_normalized_to_ref_host": queries_norm,
+        "host_probe": {"gbps_before_suite": bw_before,
+                       "gbps_after_suite": bw[CPUS],
+                       "gbps_used": probe_gbps,
+                       "ref_gbps": ref_gbps,
+                       "normalization_factor": norm},
+        # ann_topk_recall cost split: brute = deliberate exactness
+        # baseline (fixture-only), lsh/ivf = the paths that must scale
+        "ann_topk_paths_sec": ann_paths,
         "sf": _sf_number(SF_DIR),
         "validate_docs": gated["docs"],
         "validate_violations": gated["viols"].get(CPUS, 0),
