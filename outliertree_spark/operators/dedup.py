@@ -163,11 +163,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                   F.explode(F.array_distinct(
                       shingle_hash_array(text_col, k_shingle))).alias("_sh"))
           .withColumn("_h", F.pmod(F.col("_sh"), F.lit(MERSENNE))))
-    aggs = [F.min((F.col("_h") * F.lit(a) + F.lit(b)) % MERSENNE).alias(f"_m{i}")
-            for i, (a, b) in enumerate(coeffs)]
-    g = ex.groupBy(id_col).agg(*aggs)
-    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("signature")
-    return g.select(F.col(id_col), sig)
+    # one F.expr for the whole 64-min array: building the aggregates as
+    # n_hashes x ~6 Column method calls cost ~1.1s of py4j round trips
+    # PER QUERY BUILD (driver-side, before any executor work — measured
+    # with cProfile round 5); a single SQL string is one round trip and
+    # the resulting plan is bit-identical (A/B: signatures equal on all
+    # 5000 sf0.1 docs, build+exec 1.99s -> 1.25s interleaved minima)
+    mins = ",".join(f"min((_h * {a}L + {b}L) % {MERSENNE}L)"
+                    for a, b in coeffs)
+    return (ex.groupBy(id_col)
+              .agg(F.expr(f"array({mins})").alias("signature"))
+              .select(F.col(id_col), "signature"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
@@ -183,7 +189,11 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # since the round-4 bucket_pairs expansion, kept for composition
     # safety (see simhash_near_dups).  The round-3 self-join shape
     # recomputed the shingle aggregate per reference: 3.50s -> 2.73s at
-    # sf0.1 from materializing alone.
+    # sf0.1 from materializing alone.  Round-5 A/B of lineage-cut
+    # flavors (interleaved minima, sf0.1 end-to-end with the Jaccard
+    # verify): ckpt+ckpt 2.67s beats no-sig-ckpt 2.78s and both
+    # persist() variants (3.2/3.7s — InMemoryRelation columnar
+    # materialization costs more than the checkpoint write here).
     sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes,
                               seed).localCheckpoint(eager=False)
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
@@ -257,8 +267,6 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             "_h", F.conv(F.substring(F.md5("_tok"), 1, 15), 16, 10).cast("long"))
     else:
         ex = ex.withColumn("_h", F.xxhash64("_tok"))
-    masks = [(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))).cast("long")
-             for i in range(bits)]
     # Pack 2 per-bit counters into 32-bit fields of one long, so the
     # hash aggregate carries bits/2 sum buffers instead of one per bit
     # (60 -> 30 slots; the round-3 3x16-bit packing was faster still but
@@ -268,30 +276,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # tokens per doc < 2^31 < 2^32 (no carry into the high field), and
     # the packed sum stays < 2^31 * 2^32 = 2^63 (no signed overflow
     # under ANSI mode).  Correct by arithmetic, no runtime guard needed.
+    # The pack/unpack loops are built as SQL strings (one F.expr each)
+    # rather than per-bit Column method chains: ~600 py4j round trips
+    # per query BUILD otherwise (driver-side; cProfile round 5), and
+    # the resulting plans are bit-identical — A/B: simhash equal on all
+    # 5000 sf0.1 docs for both md5_60/60-bit and xxhash64/64-bit,
+    # build+exec 2.64s -> 1.29s interleaved minima.
     fields_per_long = 2
     field_bits = 32
     n_longs = (bits + fields_per_long - 1) // fields_per_long
-    aggs = [F.count("_h").alias("_n")]
+    agg_strs = []
     for j in range(n_longs):
-        terms = None
+        terms = []
         for f in range(fields_per_long):
             i = j * fields_per_long + f
             if i >= bits:
                 break
-            t = (F.shiftrightunsigned(F.col("_h"), i)
-                  .bitwiseAND(F.lit(1)).cast("long")
-                 * F.lit(1 << (field_bits * f)).cast("long"))
-            terms = t if terms is None else terms + t
-        aggs.append(F.sum(terms).alias(f"_p{j}"))
-    g = ex.groupBy(id_col).agg(*aggs)
-    sh = F.lit(0).cast("long")
+            terms.append(
+                f"(CAST((shiftrightunsigned(_h, {i}) & 1) AS BIGINT)"
+                f" * CAST({1 << (field_bits * f)} AS BIGINT))")
+        agg_strs.append(f"sum({' + '.join(terms)})")
+    g = ex.groupBy(id_col).agg(
+        F.count("_h").alias("_n"),
+        *[F.expr(s).alias(f"_p{j}") for j, s in enumerate(agg_strs)])
+    ors = ["CAST(0 AS BIGINT)"]
     for i in range(bits):
         j, f = i // fields_per_long, i % fields_per_long
-        cnt = (F.shiftrightunsigned(F.col(f"_p{j}"), field_bits * f)
-                .bitwiseAND(F.lit(0xFFFFFFFF)))
-        sh = sh.bitwiseOR(
-            F.when(cnt * 2 >= F.col("_n"), masks[i])
-             .otherwise(F.lit(0).cast("long")))
+        cnt = f"(shiftrightunsigned(_p{j}, {field_bits * f}) & 4294967295)"
+        if i < 63:
+            mask = f"CAST({1 << i} AS BIGINT)"
+        else:  # -2^63 has no negatable SQL literal; build it arithmetically
+            mask = ("(CAST(-9223372036854775807 AS BIGINT)"
+                    " - CAST(1 AS BIGINT))")
+        ors.append(f"(CASE WHEN {cnt} * 2 >= _n THEN {mask}"
+                   f" ELSE CAST(0 AS BIGINT) END)")
+    sh = F.expr(" | ".join(ors))
     return g.select(F.col(id_col), sh.alias("simhash"))
 
 
