@@ -460,6 +460,25 @@ def q_paragraph_dedup(spark, sf_dir):
                .orderBy("doc_id"))
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicate-SPAN removal (Lee et al. ACL'22 ExactSubstr,
+    re-expressed as global keep-first dedup of 8-token rolling windows):
+    a window content occurring at >= 2 (doc_id, pos) sites keeps its
+    smallest occurrence; tokens of every other site are removed and the
+    document is reassembled from its surviving raw tokens.  Detection
+    exchanges carry (span_md5, doc_id, pos) only — text never shuffles
+    (operators/spans.py).  The md5 key flavor makes the whole pipeline
+    DuckDB-reproducible: the oracle recomputes the window hashes, the
+    keep-first marking, the covered-token mask, and the md5 of the
+    reassembled bytes."""
+    from outliertree_spark.operators.spans import remove_duplicate_spans
+    out = remove_duplicate_spans(_docs(spark, sf_dir), span_tokens=8,
+                                 key_kind="md5")
+    return (out.select("doc_id", F.md5("text_dedup").alias("dedup_md5"),
+                       "n_tokens_removed")
+               .orderBy("doc_id"))
+
+
 def q_training_pipeline(spark, sf_dir):
     """End-to-end training-data pipeline in ONE declarative plan
     (round 3): boilerplate-clean -> PII scrub -> exact dedup (keep min
@@ -1086,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_removal": q_boilerplate_removal,
         "paragraph_dedup": q_paragraph_dedup,
+        "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -1108,9 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_recall": q_ann_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "dedup_clusters": q_dedup_clusters,
-        "canonical_docs": q_canonical_docs,
         # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
         # (outside the 50-entry window; guard test enforces prior green)
+        "canonical_docs": q_canonical_docs,
         "pricing_summary": q_pricing_summary,
         "rare_categories": q_rare_categories,
         "json_props": q_json_props,
@@ -1657,6 +1677,57 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN kept USING (doc_id)
             LEFT JOIN rm USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "span_dedup": r"""
+            WITH docs AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS lt,
+                     regexp_split_to_array(trim(text), '\s+') AS rt
+              FROM documents),
+            wp AS (
+              SELECT doc_id, lt,
+                     unnest(range(len(lt) - 7)) AS p
+              FROM docs WHERE len(lt) >= 8),
+            spans AS (
+              SELECT doc_id, p,
+                     md5(array_to_string(lt[p+1:p+8], ' ')) AS key
+              FROM wp),
+            marked AS (
+              SELECT doc_id, p,
+                     count(*) OVER (PARTITION BY key) AS n_sites,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY doc_id, p) AS rn
+              FROM spans),
+            losers AS (
+              SELECT doc_id, p FROM marked
+              WHERE n_sites >= 2 AND rn > 1),
+            toks AS (
+              SELECT doc_id, rt, unnest(range(len(rt))) AS t
+              FROM docs),
+            kept AS (
+              SELECT tk.doc_id, tk.t, tk.rt[tk.t + 1] AS term
+              FROM toks tk
+              WHERE NOT EXISTS (
+                SELECT 1 FROM losers l
+                WHERE l.doc_id = tk.doc_id
+                  AND l.p <= tk.t AND tk.t < l.p + 8)),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(term, ' ' ORDER BY t) AS txt,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            affected AS (SELECT DISTINCT doc_id FROM losers)
+            SELECT d.doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN md5(d.text)
+                        ELSE md5(coalesce(r.txt, '')) END AS dedup_md5,
+                   CAST(CASE WHEN a.doc_id IS NULL THEN 0
+                             ELSE len(dd.rt) - coalesce(r.n_kept, 0)
+                        END AS BIGINT) AS n_tokens_removed
+            FROM documents d
+            JOIN docs dd USING (doc_id)
+            LEFT JOIN affected a USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
         """,
         "training_pipeline": _boiler_cte() + r"""

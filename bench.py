@@ -347,7 +347,7 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "ann_topk_recall", "outlier_validate_root",
              "paragraph_dedup", "unigram_lm", "length_quantiles",
              "snapshot_diff", "winnowing_overlap", "winnowing",
-             "dataset_card", "unigram_lm_head"]
+             "dataset_card", "unigram_lm_head", "span_dedup"]
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -454,7 +454,7 @@ def main() -> None:
     # aggregate bandwidth recorded in BASELINE.md's clean-window entry;
     # override with BENCH_PROBE_REF_GBPS when re-baselining.
     probe_gbps = round((bw_before + bw[CPUS]) / 2.0, 1)
-    ref_gbps = float(os.environ.get("BENCH_PROBE_REF_GBPS", "70.0"))
+    ref_gbps = float(os.environ.get("BENCH_PROBE_REF_GBPS", "87.5"))
     norm = round(probe_gbps / ref_gbps, 3)
     queries_norm = {k: round(v * norm, 3) for k, v in queries.items()}
 
