@@ -18,7 +18,12 @@ Scale shape (the paragraph-dedup discipline, operators/paragraphs.py):
 - windows are built ROW-LOCALLY from the token array (``transform`` over
   ``sequence`` — no exchange, no Window function);
 - the global detection exchange carries ``(span_key, doc_id, pos)``
-  ONLY — document text never shuffles;
+  ONLY — document text never shuffles.  The exchange is per-WINDOW
+  (one fixed-width triple per corpus token), the inherent cost of
+  substring-granular dedup (a suffix array touches every token too);
+  at 100 TB that is ~24 bytes/token of narrow shuffle vs re-shipping
+  the corpus itself, and the map-side-combinable keep-first aggregate
+  reduces it before the wire where keys repeat within a partition;
 - loser spans join back to their documents on ``doc_id`` (one shuffle of
   span positions, grouped to one array row per affected doc), and the
   removal itself is a row-local indexed ``filter`` over the token array;

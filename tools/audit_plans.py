@@ -215,6 +215,19 @@ def main() -> None:
         "loser side into a broadcast when it is small.",
         plan_of(dedup_paragraphs(docs.select("doc_id", "text")))))
 
+    from outliertree_spark.operators.spans import duplicate_spans
+    sections.append((
+        "Exact duplicate-span detection (ExactSubstr windows)",
+        "Rolling 8-token window keys are built row-locally behind a "
+        "projection boundary + lazy localCheckpoint (the ExistingRDD "
+        "below — same Catalyst re-inline guard as winnowing); the "
+        "keep-first exchange carries (span_key, doc_id, pos) triples "
+        "only, never text (check the Exchange columns).  Removal (not "
+        "shown) is a row-local indexed filter after a doc_id join-back, "
+        "exactly the paragraph-dedup shape at token granularity.",
+        plan_of(duplicate_spans(docs.select("doc_id", "text"),
+                                span_tokens=8, key_kind="xx"))))
+
     from outliertree_spark.operators.checks import quantile_screen
     sections.append((
         "Quantile screen (GK sketch, sketch-only mode)",
