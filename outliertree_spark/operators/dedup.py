@@ -196,6 +196,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     # materialization costs more than the checkpoint write here).
     sigs = minhash_signatures(df, id_col, text_col, k_shingle, n_hashes,
                               seed).localCheckpoint(eager=False)
+    return lsh_band_pairs(sigs, id_col, n_hashes, n_bands, bucket_cap)
+
+
+def lsh_band_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                   n_hashes: int = 64, n_bands: int = 16,
+                   bucket_cap: int = 10000) -> DataFrame:
+    """Banding + capped bucket self-join over a PRECOMPUTED
+    (id, signature) table: candidate pairs (id_a < id_b).
+
+    Factored out of :func:`minhash_lsh_candidates` so pipelines that
+    collapse exact duplicates first
+    (:func:`~outliertree_spark.operators.components.near_dup_components`)
+    can band over representative signatures instead of one row per
+    document copy."""
+    rows_per_band = n_hashes // n_bands
     bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
     b = sigs.select(F.col(id_col), F.col("signature"), bands)
     b = b.withColumn(

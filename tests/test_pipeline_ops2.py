@@ -56,6 +56,54 @@ def test_duplicate_groups_summary(spark):
     assert got == {5: (3, 5), 30: (2, 30)}
 
 
+# ------------------------------------------- collapse-exact clustering
+
+_TA = " ".join(f"w{i}" for i in range(20))          # 20 tokens
+_TB = " ".join(f"w{i}" for i in range(19)) + " zz"  # Jaccard(TA,TB)=15/21
+
+
+def _dup_docs(spark, n_a=5):
+    rows = ([(100 + i, _TA) for i in range(n_a)]        # exact-dup group A
+            + [(200 + i, _TB) for i in range(3)]        # group B, near-dup of A
+            + [(300, "hi yo"), (301, "hi yo")]          # degenerate (<k tokens)
+            + [(400, " ".join(f"x{i}" for i in range(20)))])  # singleton
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_near_dup_components_collapse_exact_equals_per_copy(spark):
+    from outliertree_spark.operators.components import near_dup_components
+    d = _dup_docs(spark)
+    full = {(r["id"], r["component"])
+            for r in near_dup_components(d).collect()}
+    coll = {(r["id"], r["component"])
+            for r in near_dup_components(d, collapse_exact=True).collect()}
+    # A and B fuse into one component labeled by the global min id;
+    # the degenerate pair (empty shingle sets -> NULL Jaccard) and the
+    # singleton are absent from BOTH paths
+    expect = {(i, 100) for i in (100, 101, 102, 103, 104, 200, 201, 202)}
+    assert full == expect
+    assert coll == expect
+
+
+def test_near_dup_components_collapsed_survives_bucket_cap(spark):
+    # a page duplicated past bucket_cap floods every one of its LSH
+    # buckets in the per-copy pipeline (cap drops the bucket and ALL its
+    # edges); collapsed, it is one band row and the clustering survives
+    from outliertree_spark.operators.components import near_dup_components
+    d = _dup_docs(spark, n_a=6)  # 6 A-copies + 3 B-copies > cap below
+    full = {(r["id"], r["component"])
+            for r in near_dup_components(d, bucket_cap=4).collect()}
+    coll = {(r["id"], r["component"])
+            for r in near_dup_components(d, collapse_exact=True,
+                                         bucket_cap=4).collect()}
+    # per-copy path: every bucket holding A's 6 copies exceeds the cap,
+    # so the A group vanishes AND the surviving B cluster carries the
+    # wrong (split) label
+    assert full == {(i, 200) for i in (200, 201, 202)}
+    assert coll == {(i, 100)
+                    for i in (100, 101, 102, 103, 104, 105, 200, 201, 202)}
+
+
 # ----------------------------------------------------------- sampling
 
 @pytest.fixture(scope="module")

@@ -228,6 +228,23 @@ def main() -> None:
         plan_of(duplicate_spans(docs.select("doc_id", "text"),
                                 span_tokens=8, key_kind="xx"))))
 
+    from outliertree_spark.operators.components import near_dup_components
+    sections.append((
+        "Near-dup clustering, collapse-exact scale path (pre-CC stages)",
+        "Byte-identical docs collapse to one representative before "
+        "MinHash/LSH: the membership exchange carries (doc_id, 16-byte "
+        "md5) only, the signature aggregate is KEYED ON THE CONTENT "
+        "HASH (map-side combine merges copies before the wire), and "
+        "band rows / candidate pairs / Jaccard verifications run once "
+        "per DISTINCT text.  Text never shuffles in either path; what "
+        "changes is that a page duplicated a million times is one band "
+        "row instead of a bucket-cap blowout.  Shown: the final "
+        "label-expansion plan — converged CC labels surface as a "
+        "checkpointed ExistingRDD joined back to the text-free "
+        "membership mapping.",
+        plan_of(near_dup_components(docs.select("doc_id", "text"),
+                                    collapse_exact=True))))
+
     from outliertree_spark.operators.checks import quantile_screen
     sections.append((
         "Quantile screen (GK sketch, sketch-only mode)",
