@@ -1312,7 +1312,7 @@ def _canonical_urls_cte(ix: str = "doc_id") -> str:
     expression the URL formula is built from: ``doc_id`` for the 1:1
     canonicalization fixture, ``(doc_id % 100)`` for the dup-groups
     fixture (many docs per URL)."""
-    return f'''
+    return rf'''
             WITH m AS (
               SELECT doc_id,
                      CASE WHEN {ix} % 7 = 3 THEN

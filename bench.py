@@ -347,7 +347,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "ann_topk_recall", "outlier_validate_root",
              "paragraph_dedup", "unigram_lm", "length_quantiles",
              "snapshot_diff", "winnowing_overlap", "winnowing",
-             "dataset_card", "unigram_lm_head", "span_dedup"]
+             "dataset_card", "unigram_lm_head", "span_dedup",
+             "dedup_clusters_collapsed"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -38,18 +38,42 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25,
-                         check_every: int = 1) -> DataFrame:
+                         check_every: int = 1,
+                         local_edges_cap: int = 100_000) -> DataFrame:
     """(id, component) for every vertex in ``edges``; ``component`` is
     the smallest vertex id reachable from ``id``.
 
     ``edges`` is an undirected pair list (each pair once, either
     orientation).  Isolated vertices are the caller's concern — join the
-    result back to the full table with a coalesce to self."""
+    result back to the full table with a coalesce to self.
+
+    ``local_edges_cap``: BOUNDED small-graph fast path.  The symmetrized
+    edge table is materialized first either way (the loop would need it);
+    if it holds at most this many rows (probed with a LIMIT cap+1, so
+    the driver never pulls more than cap+1 narrow rows), components are
+    solved in one union-find pass on the driver and returned as a local
+    relation — the verified near-duplicate graph after Jaccard
+    thresholding is tiny even when the corpus is not, and each avoided
+    propagation round costs a checkpoint job plus a convergence count.
+    This mirrors AQE's localize-small-shuffles behavior, with the same
+    discipline as the other bounded driver materializations (IVF's 20k
+    sample, the boilerplate top-K): an explicit cap, a distributed
+    fallback above it, identical output either side (equality is pinned
+    in tests/test_pipeline_ops2.py).  Memory bound: cap edge rows +
+    up to 2*cap vertex labels of plain Python ints/strings.  Pass 0 to
+    force the distributed loop.  The fast-path result arrives as a
+    LocalRelation, so downstream joins against it broadcast for free.
+    Measured (round 5, sf0.1 dedup_clusters end-to-end, interleaved
+    minima of 4): 2.46s distributed loop -> 2.06s fast path."""
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
               .union(edges.select(F.col(dst).alias("u"),
                                   F.col(src).alias("v")))
               .distinct()
               .localCheckpoint(eager=True))
+    if local_edges_cap:
+        head = e.limit(local_edges_cap + 1).collect()
+        if len(head) <= local_edges_cap:
+            return _local_components(edges.sparkSession, head, e.schema)
     labels = (e.select(F.col("u").alias("id"))
                .distinct()
                .withColumn("component", F.col("id")))
@@ -80,6 +104,42 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         f"connected_components did not converge in {max_iter} rounds; "
         "the input graph has a longer path structure than any "
         "duplicate-pair graph should — raise max_iter explicitly")
+
+
+def _local_components(spark, edge_rows, edge_schema) -> DataFrame:
+    """Driver-side union-find over a bounded symmetrized edge list.
+
+    Union-by-min (the larger root is attached under the smaller) plus
+    path compression: the root of every tree IS the component's minimum
+    id, matching the distributed min-label fixpoint exactly."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(v, find(v)) for v in parent]
+    vt = edge_schema["u"].dataType
+    schema = T.StructType([T.StructField("id", vt, False),
+                           T.StructField("component", vt, False)])
+    return spark.createDataFrame(out, schema)
 
 
 def near_dup_components(docs: DataFrame, id_col: str = "doc_id",

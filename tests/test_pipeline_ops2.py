@@ -44,9 +44,36 @@ def test_cc_chain_needs_multiple_rounds(spark):
 
 
 def test_cc_max_iter_guard(spark):
+    # local_edges_cap=0 forces the distributed loop (the fast path
+    # solves any bounded graph in one pass and never hits the guard)
     e = _edges(spark, [(1, 0), (2, 1), (3, 2), (4, 3)])
     with pytest.raises(RuntimeError):
-        connected_components(e, max_iter=1)
+        connected_components(e, max_iter=1, local_edges_cap=0)
+
+
+def test_cc_fast_path_equals_distributed(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (11, 10), (11, 12),
+                       (21, 20), (7, 6), (8, 7), (9, 8)])
+    fast = {(r["id"], r["component"])
+            for r in connected_components(e).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(e, local_edges_cap=0).collect()}
+    assert fast == dist
+    # over-cap probe falls back to the distributed loop (cap counts
+    # SYMMETRIZED rows: 9 pairs -> 18)
+    over = {(r["id"], r["component"])
+            for r in connected_components(e, local_edges_cap=17).collect()}
+    assert over == dist
+
+
+def test_cc_fast_path_preserves_id_type(spark):
+    e = spark.createDataFrame([("b", "a"), ("c", "b"), ("x", "y")],
+                              "id_a string, id_b string")
+    got = {r["id"]: r["component"]
+           for r in connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert dict(connected_components(e).dtypes) == {
+        "id": "string", "component": "string"}
 
 
 def test_duplicate_groups_summary(spark):

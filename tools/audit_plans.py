@@ -183,11 +183,16 @@ def main() -> None:
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
                                   "id_a long, id_b long")
     sections.append((
-        "Connected components (one converged run)",
+        "Connected components (one converged run, distributed loop)",
         "Per round: edges JOIN labels (both keyed on vertex id) + min "
         "aggregate; lineage cut by localCheckpoint per round so the "
-        "plan below stays this size at any iteration count.",
-        plan_of(connected_components(pairs))))
+        "plan below stays this size at any iteration count.  Graphs "
+        "within local_edges_cap (default 100k symmetrized rows) skip "
+        "the loop entirely: one bounded LIMIT-probe collect + driver "
+        "union-find returns a LocalRelation that downstream joins "
+        "broadcast; shown here with the cap disabled to exhibit the "
+        "at-scale loop shape.",
+        plan_of(connected_components(pairs, local_edges_cap=0))))
 
     from outliertree_spark.operators.skew import domain_profile
     doms = docs.select(
