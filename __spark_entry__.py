@@ -1125,8 +1125,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,
         "verdicts_by_source": q_verdicts_by_source,
         "top_customers_window": q_top_customers_window,
-        "cosine_near_dups_exact": q_cosine_near_dups_exact,
-        "sessionization": q_sessionization,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "fingerprints": q_fingerprints,
@@ -1136,11 +1134,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "ann_topk_recall": q_ann_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        # the whole CC-backed trio sits in-window this round: all three
+        # run through the round-5 near_dup_components / fast-path CC code
         "dedup_clusters_collapsed": q_dedup_clusters_collapsed,
-        # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
-        # (outside the 50-entry window; guard test enforces prior green)
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
+        # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
+        # (outside the 50-entry window; guard test enforces prior green)
+        "cosine_near_dups_exact": q_cosine_near_dups_exact,
+        "sessionization": q_sessionization,
         "pricing_summary": q_pricing_summary,
         "rare_categories": q_rare_categories,
         "json_props": q_json_props,
@@ -1190,6 +1192,26 @@ def _jaccard_pairs_sql(threshold: float) -> str:
           FROM t a, t b WHERE a.doc_id < b.doc_id)
         SELECT id_a, id_b, round(jaccard, 4) AS jaccard
         FROM p WHERE jaccard >= {threshold}
+    """
+
+
+def _cc_components_sql() -> str:
+    """Recursive-CTE connected components over the exact all-pairs
+    Jaccard >= 0.7 edge set — shared verbatim by `dedup_clusters` and
+    `dedup_clusters_collapsed` (the collapse-exact path is
+    output-identical by construction, so both are held to the SAME
+    string; a single builder makes oracle drift impossible)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+        reach(id, lbl) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
+        SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY id
     """
 
 
@@ -2109,32 +2131,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rnk AS INTEGER) AS rnk
             FROM r WHERE rnk <= 3
         """,
-        "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS (
-                SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
-            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                      UNION SELECT id_b AS u, id_a AS v FROM pairs),
-            reach(id, lbl) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
-            SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
-            FROM reach GROUP BY id
-        """,
+        "dedup_clusters": _cc_components_sql(),
         # collapse-exact path is output-identical by construction, so it
-        # is held to the SAME exact-all-pairs oracle as dedup_clusters
-        "dedup_clusters_collapsed": f"""
-            WITH RECURSIVE pairs AS (
-                SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),
-            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-                      UNION SELECT id_b AS u, id_a AS v FROM pairs),
-            reach(id, lbl) AS (
-                SELECT u, u FROM edges
-                UNION
-                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.id)
-            SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS component
-            FROM reach GROUP BY id
-        """,
+        # is held to the SAME exact-all-pairs oracle (one builder —
+        # drift between the two strings is impossible)
+        "dedup_clusters_collapsed": _cc_components_sql(),
         "canonical_docs": f"""
             WITH RECURSIVE pairs AS (
                 SELECT * FROM ({_jaccard_pairs_sql(0.7)}) jp),

@@ -38,14 +38,16 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 25,
-                         check_every: int = 1,
                          local_edges_cap: int = 100_000) -> DataFrame:
     """(id, component) for every vertex in ``edges``; ``component`` is
     the smallest vertex id reachable from ``id``.
 
     ``edges`` is an undirected pair list (each pair once, either
-    orientation).  Isolated vertices are the caller's concern — join the
-    result back to the full table with a coalesce to self.
+    orientation); rows with a NULL endpoint are dropped up front (both
+    paths — the distributed join would silently drop them anyway, and
+    the fast path must agree).  Isolated vertices are the caller's
+    concern — join the result back to the full table with a coalesce
+    to self.
 
     ``local_edges_cap``: BOUNDED small-graph fast path.  The symmetrized
     edge table is materialized first either way (the loop would need it);
@@ -61,13 +63,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     fallback above it, identical output either side (equality is pinned
     in tests/test_pipeline_ops2.py).  Memory bound: cap edge rows +
     up to 2*cap vertex labels of plain Python ints/strings.  Pass 0 to
-    force the distributed loop.  The fast-path result arrives as a
-    LocalRelation, so downstream joins against it broadcast for free.
+    force the distributed loop.  The fast-path result carries an
+    explicit broadcast hint (safe: it is bounded at 2*cap narrow rows),
+    so downstream joins against it hash-join without shuffling the
+    other side even under the static planner.
     Measured (round 5, sf0.1 dedup_clusters end-to-end, interleaved
     minima of 4): 2.46s distributed loop -> 2.06s fast path."""
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
               .union(edges.select(F.col(dst).alias("u"),
                                   F.col(src).alias("v")))
+              .where(F.col("u").isNotNull() & F.col("v").isNotNull())
               .distinct()
               .localCheckpoint(eager=True))
     if local_edges_cap:
@@ -139,7 +144,12 @@ def _local_components(spark, edge_rows, edge_schema) -> DataFrame:
     vt = edge_schema["u"].dataType
     schema = T.StructType([T.StructField("id", vt, False),
                            T.StructField("component", vt, False)])
-    return spark.createDataFrame(out, schema)
+    # explicit hint: the local result is RDD-backed (Scan ExistingRDD)
+    # with unknown stats, so the static planner would otherwise drag it
+    # through a SortMergeJoin exchange; it is bounded and tiny by
+    # construction, so force the broadcast side here once for every
+    # downstream join
+    return F.broadcast(spark.createDataFrame(out, schema))
 
 
 def near_dup_components(docs: DataFrame, id_col: str = "doc_id",
@@ -164,7 +174,7 @@ def near_dup_components(docs: DataFrame, id_col: str = "doc_id",
     representatives followed by a label expansion is OUTPUT-IDENTICAL
     to the per-copy pipeline (the representative is the group min, so
     min-reachable-id labels agree; asserted pairwise in
-    tests/test_components.py on planted duplicates).  One asymmetry,
+    tests/test_pipeline_ops2.py on planted duplicates).  One asymmetry,
     and it favors this path: a page duplicated beyond ``bucket_cap``
     floods every one of its LSH buckets past the cap in the per-copy
     pipeline, silently dropping its edges to OTHER near-dup texts;
@@ -206,9 +216,14 @@ def near_dup_components(docs: DataFrame, id_col: str = "doc_id",
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     mem = docs.select(F.col(id_col), ch.alias("_ch"),
                       (F.size(toks) >= k_shingle).alias("_sh_ok"))
+    # grp is joined twice below (membership mapping + rep signatures);
+    # without the checkpoint each reference re-runs the corpus scan and
+    # the (id, hash) exchange behind the aggregate — materialized it is
+    # one narrow row per DISTINCT text
     grp = (mem.groupBy("_ch")
               .agg(F.min(id_col).alias("_rep"),
-                   F.count(F.lit(1)).alias("_n")))
+                   F.count(F.lit(1)).alias("_n"))
+              .localCheckpoint(eager=False))
     mapping = (mem.join(grp, "_ch")
                   .select(id_col, "_rep", "_n", "_sh_ok")
                   .localCheckpoint(eager=False))

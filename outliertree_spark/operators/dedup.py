@@ -184,7 +184,6 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     """Candidate near-duplicate pairs (id_a < id_b) from LSH banding:
     explode signatures into (band, band_hash) buckets, self-join buckets
     (cap-guarded)."""
-    rows_per_band = n_hashes // n_bands
     # materialize the N x (64 longs) signature table; single-referenced
     # since the round-4 bucket_pairs expansion, kept for composition
     # safety (see simhash_near_dups).  The round-3 self-join shape

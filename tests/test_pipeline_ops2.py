@@ -66,6 +66,21 @@ def test_cc_fast_path_equals_distributed(spark):
     assert over == dist
 
 
+def test_cc_null_endpoints_dropped_both_paths(spark):
+    # rows with a NULL endpoint are filtered up front so the fast path
+    # and the distributed loop agree (the loop's joins would silently
+    # drop them; the union-find must not crash on None comparisons)
+    e = spark.createDataFrame([(1, 2), (None, 3), (4, None)],
+                              "id_a long, id_b long")
+    expect = {(1, 1), (2, 1)}
+    got_fast = {(r["id"], r["component"])
+                for r in connected_components(e).collect()}
+    got_dist = {(r["id"], r["component"])
+                for r in connected_components(e, local_edges_cap=0).collect()}
+    assert got_fast == expect
+    assert got_dist == expect
+
+
 def test_cc_fast_path_preserves_id_type(spark):
     e = spark.createDataFrame([("b", "a"), ("c", "b"), ("x", "y")],
                               "id_a string, id_b string")

@@ -189,8 +189,8 @@ def main() -> None:
         "plan below stays this size at any iteration count.  Graphs "
         "within local_edges_cap (default 100k symmetrized rows) skip "
         "the loop entirely: one bounded LIMIT-probe collect + driver "
-        "union-find returns a LocalRelation that downstream joins "
-        "broadcast; shown here with the cap disabled to exhibit the "
+        "union-find returns a broadcast-hinted local result (bounded, so "
+        "the hint is safe) that downstream joins take as the build side; shown here with the cap disabled to exhibit the "
         "at-scale loop shape.",
         plan_of(connected_components(pairs, local_edges_cap=0))))
 
@@ -244,9 +244,10 @@ def main() -> None:
         "per DISTINCT text.  Text never shuffles in either path; what "
         "changes is that a page duplicated a million times is one band "
         "row instead of a bucket-cap blowout.  Shown: the final "
-        "label-expansion plan — converged CC labels surface as a "
-        "checkpointed ExistingRDD joined back to the text-free "
-        "membership mapping.",
+        "label-expansion plan — the converged CC labels (here the "
+        "broadcast-hinted small-graph result) hash-join back to the "
+        "text-free membership mapping with no exchange on the mapping "
+        "side.",
         plan_of(near_dup_components(docs.select("doc_id", "text"),
                                     collapse_exact=True))))
 
