@@ -148,7 +148,8 @@ def _local_components(spark, edge_rows, edge_schema) -> DataFrame:
     # with unknown stats, so the static planner would otherwise drag it
     # through a SortMergeJoin exchange; it is bounded and tiny by
     # construction, so force the broadcast side here once for every
-    # downstream join
+    # downstream join.  (Consumers that never join it get a benign
+    # one-line HintErrorLogger WARN about the unused hint.)
     return F.broadcast(spark.createDataFrame(out, schema))
 
 
