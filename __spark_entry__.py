@@ -563,6 +563,55 @@ def q_unigram_lm_head(spark, sf_dir):
                       F.round("mean_logp", 4).alias("mean_logp"))
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter rule set (Rae et al. 2021 Table A1) over
+    the documents table: per-doc rule features, per-rule booleans, and
+    the keep verdict — entirely row-local codegen, no exchange.  Every
+    ratio is an exact-integer division, so the rule booleans are
+    engine-portable with no rounding epsilon (the DuckDB twin computes
+    the identical doubles); the displayed ratios are rounded to 6dp
+    only for the value hash."""
+    from outliertree_spark.operators.gopher import gopher_rules
+    out = gopher_rules(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("bullet_line_frac", 6).alias("bullet_line_frac"),
+        F.round("ellipsis_line_frac", 6).alias("ellipsis_line_frac"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        "n_stop_hits", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullet_lines", "rule_ellipsis_lines",
+        "rule_alpha_words", "rule_stopwords", "gopher_keep")
+
+
+def q_resample_mix(spark, sf_dir):
+    """Distribution-matched deterministic resampling (DoReMi/FineWeb
+    domain mixing): downsample so the surviving language mix is
+    en 40% / de 20% / es 20% / fr 20% (zh excluded by curation), at the
+    largest total the scarcest language allows.  Rates derive from one
+    tiny counting aggregate; the keep predicate is a row-local md5_60
+    hash compare, so DuckDB reproduces the exact kept row set."""
+    from outliertree_spark.operators.sampling import resample_to_mix
+    out = resample_to_mix(_docs(spark, sf_dir), "lang",
+                          {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2},
+                          "doc_id", salt="mix", hash_kind="md5_60")
+    return out.select("doc_id", "lang")
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity buckets over fixed-point
+    unigram surprisal (integer micro-nat sums — order-independent, so
+    the ranking is bit-identical in any engine; see
+    text.surprisal_scores_fp).  Oracle path = exact NTILE; the
+    ``cutoff`` sketch path is the 10^12-doc variant (pytest-gated)."""
+    from outliertree_spark.operators.text import perplexity_buckets
+    out = perplexity_buckets(_docs(spark, sf_dir), method="ntile")
+    return out.select("doc_id", "n_tokens", "sum_lp_fp",
+                      F.round("mean_lp", 6).alias("mean_lp"),
+                      "ppl_bucket", "ppl_label")
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (d.select(F.md5("text").alias("text_hash"), "doc_id")
@@ -1094,6 +1143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orphan_hosts": q_orphan_hosts,
         # -- new this round --
         "unigram_lm_head": q_unigram_lm_head,
+        "gopher_rules": q_gopher_rules,
+        "resample_mix": q_resample_mix,
+        "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
         "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
@@ -1116,12 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "span_dedup": q_span_dedup,
         "training_pipeline": q_training_pipeline,
-        "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "unigram_lm": q_unigram_lm,
-        "exact_dedup": q_exact_dedup,
-        "topk_cosine": q_topk_cosine,
         "dataset_card": q_dataset_card,
         "verdicts_by_source": q_verdicts_by_source,
         "top_customers_window": q_top_customers_window,
@@ -1142,6 +1191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
         # (outside the 50-entry window; guard test enforces prior green)
         "cosine_near_dups_exact": q_cosine_near_dups_exact,
+        "token_counts": q_token_counts,
+        "exact_dedup": q_exact_dedup,
+        "topk_cosine": q_topk_cosine,
         "sessionization": q_sessionization,
         "pricing_summary": q_pricing_summary,
         "rare_categories": q_rare_categories,
@@ -1957,6 +2009,126 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_logp
             FROM tr LEFT JOIN head h USING (term), tot
             GROUP BY doc_id
+        """,
+        "gopher_rules": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   w -> length(w) > 0) AS words,
+                       regexp_split_to_array(text, '\n') AS lines,
+                       length(text) - length(regexp_replace(text, '#', '',
+                                                            'g')) AS n_hash,
+                       (length(text) - length(regexp_replace(text,
+                            '\.\.\.', '', 'g'))) / 3 AS n_dots,
+                       length(text) - length(regexp_replace(text, '…', '',
+                                                            'g')) AS n_uell
+                FROM documents),
+            g AS (
+                SELECT doc_id, len(words) AS n_words,
+                       list_transform(words, w -> lower(w)) AS lw,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(coalesce(list_sum(list_transform(words,
+                                 w -> length(w))), 0) AS DOUBLE) / len(words)
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(n_hash + n_dots + n_uell AS DOUBLE)
+                                / len(words)
+                            ELSE 0.0 END AS symbol_word_ratio,
+                       CASE WHEN len(lines) > 0 THEN
+                            CAST(len(list_filter(lines, l ->
+                                 regexp_matches(l, '^\s*[-*•]')))
+                                 AS DOUBLE) / len(lines)
+                            ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lines) > 0 THEN
+                            CAST(len(list_filter(lines, l ->
+                                 regexp_matches(l, '(\.\.\.|…)\s*$')))
+                                 AS DOUBLE) / len(lines)
+                            ELSE 0.0 END AS ellipsis_line_frac,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(len(list_filter(words, w ->
+                                 regexp_matches(w, '[A-Za-z]')))
+                                 AS DOUBLE) / len(words)
+                            ELSE 0.0 END AS alpha_word_frac
+                FROM f),
+            h AS (
+                SELECT *, CAST(list_contains(lw, 'the') AS INT)
+                         + CAST(list_contains(lw, 'be') AS INT)
+                         + CAST(list_contains(lw, 'to') AS INT)
+                         + CAST(list_contains(lw, 'of') AS INT)
+                         + CAST(list_contains(lw, 'and') AS INT)
+                         + CAST(list_contains(lw, 'that') AS INT)
+                         + CAST(list_contains(lw, 'have') AS INT)
+                         + CAST(list_contains(lw, 'with') AS INT) AS n_stop_hits
+                FROM g)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_word_ratio, 6) AS symbol_word_ratio,
+                   round(bullet_line_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   n_stop_hits,
+                   (n_words BETWEEN 50 AND 100000) AS rule_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS rule_mean_word_len,
+                   (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+                   (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+                   (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+                   (alpha_word_frac >= 0.8) AS rule_alpha_words,
+                   (n_stop_hits >= 2) AS rule_stopwords,
+                   ((n_words BETWEEN 50 AND 100000)
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio <= 0.1
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND alpha_word_frac >= 0.8
+                    AND n_stop_hits >= 2) AS gopher_keep
+            FROM h
+        """,
+        "resample_mix": """
+            WITH tgt(lang, share) AS (VALUES ('de', 0.2), ('en', 0.4),
+                                             ('es', 0.2), ('fr', 0.2)),
+            counts AS (SELECT lang, count(*) AS cnt FROM documents
+                       GROUP BY lang),
+            j AS (SELECT c.lang, c.cnt, t.share
+                  FROM counts c JOIN tgt t USING (lang)),
+            s AS (SELECT min(CAST(cnt AS DOUBLE) / share) AS scale FROM j),
+            rates AS (SELECT lang, (share * scale) / CAST(cnt AS DOUBLE)
+                          AS mix_rate
+                      FROM j, s)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN rates r USING (lang)
+            WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                               || 'mix'), 1, 15) AS BIGINT)
+                       % 1000000 AS DOUBLE)
+                  < r.mix_rate * 1000000.0
+        """,
+        "perplexity_buckets": r"""
+            WITH tr AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS term
+              FROM documents),
+            v AS (SELECT term, count(*) AS tf FROM tr GROUP BY term),
+            tot AS (SELECT sum(tf) AS total FROM v),
+            lp AS (SELECT term, CAST(round(ln(CAST(tf AS DOUBLE)
+                       / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS lp_fp
+                   FROM v, tot),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(lp_fp) AS sum_lp
+                    FROM tr JOIN lp USING (term) GROUP BY doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(sum_lp AS BIGINT) AS sum_lp_fp,
+                   round(CAST(sum_lp AS DOUBLE) / n_tokens / 1000000.0, 6)
+                       AS mean_lp,
+                   CAST(ntile(3) OVER (ORDER BY CAST(sum_lp AS DOUBLE)
+                            / n_tokens / 1000000.0 DESC, doc_id ASC)
+                        AS INT) AS ppl_bucket,
+                   CASE ntile(3) OVER (ORDER BY CAST(sum_lp AS DOUBLE)
+                            / n_tokens / 1000000.0 DESC, doc_id ASC)
+                        WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_label
+            FROM per
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

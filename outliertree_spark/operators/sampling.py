@@ -83,3 +83,60 @@ def split_train_holdout(df: DataFrame, holdout_rate: float, key_col: str,
         "split",
         F.when(b < int(round(holdout_rate * _MOD)), F.lit("holdout"))
          .otherwise(F.lit("train")))
+
+
+def mix_rates(df: DataFrame, group_col: str,
+              shares: dict[str, float]) -> DataFrame:
+    """Per-group acceptance rates that re-shape a corpus to a target
+    group distribution (DoReMi/FineWeb-style domain mixing) WITHOUT
+    upsampling: the output is the largest subset of the input whose
+    group proportions equal ``shares``.
+
+    With ``cnt_g`` the observed group counts, the achievable total is
+    bounded by the scarcest group: ``scale = min_g(cnt_g / share_g)``,
+    and each group keeps ``rate_g = share_g * scale / cnt_g`` (in
+    (0, 1] by construction — the binding group keeps everything).
+    Groups absent from ``shares`` get no row (explicit curation).
+
+    Fully declarative — no driver action: one column-pruned counting
+    aggregate (map-side combined, exchange is #groups rows), a
+    broadcast of the human-sized share map, and a broadcast scalar for
+    the min.  Returns (group_col, cnt, share, mix_rate).
+
+    All arithmetic is double ops over exact integer counts and literal
+    shares in a fixed order — ``(share * scale) / cnt`` — so any SQL
+    engine reproduces ``mix_rate`` bit-for-bit (the oracle property)."""
+    assert shares and all(s > 0 for s in shares.values())
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(shares.items()), f"{group_col} string, share double")
+    counts = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+                .join(F.broadcast(tgt), group_col))
+    scale = counts.agg(F.min(F.col("cnt").cast("double")
+                             / F.col("share")).alias("_scale"))
+    return (counts.crossJoin(F.broadcast(scale))
+                  .select(group_col, "cnt", "share",
+                          ((F.col("share") * F.col("_scale"))
+                           / F.col("cnt").cast("double")).alias("mix_rate")))
+
+
+def resample_to_mix(df: DataFrame, group_col: str,
+                    shares: dict[str, float], key_col: str,
+                    salt: str = "mix",
+                    hash_kind: str = "xxhash64") -> DataFrame:
+    """Deterministically downsample ``df`` so the surviving rows'
+    ``group_col`` distribution matches ``shares`` (the data-mixing
+    primitive for training-corpus curation).
+
+    Row-local keep predicate — ``hash(key) mod M < rate_g * M`` — so
+    the corpus itself never shuffles; rates come from
+    :func:`mix_rates` (tiny aggregate + broadcasts) and reach each row
+    through a BroadcastHashJoin.  Two passes over the group column, one
+    over the full rows; equal keys are kept or dropped together, same
+    as every sampler here.  ``md5_60`` flavor is SQL-reproducible."""
+    rates = mix_rates(df, group_col, shares)
+    b = _hash_bucket(F.col(key_col), salt, hash_kind)
+    return (df.join(F.broadcast(rates.select(group_col, "mix_rate")),
+                    group_col)
+              .filter(b.cast("double") < F.col("mix_rate") * F.lit(float(_MOD)))
+              .drop("mix_rate"))

@@ -352,3 +352,107 @@ def compression_ratio(df: DataFrame, id_col: str = "doc_id",
               .select(F.col(id_col), F.col("_cr.n_bytes").alias("n_bytes"),
                       F.col("_cr.compression_ratio")
                        .alias("compression_ratio")))
+
+
+def surprisal_scores_fp(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        head_size: int | None = None) -> DataFrame:
+    """Per-document corpus surprisal in FIXED POINT: each distinct
+    term's log-probability ``ln(tf/total)`` is quantized once to
+    integer micro-nats (``round(... * 1e6)``), and documents sum the
+    integers.
+
+    Why fixed point: float sums are order-dependent, so a parallel
+    engine cannot reproduce another engine's ``sum(double)`` bit for
+    bit — but an INTEGER sum is order-independent, and the only float
+    op left (one ``ln`` per distinct term over identical doubles)
+    is deterministic.  That makes per-document surprisal — and any
+    ordering or bucketing built on it — exactly reproducible across
+    Spark, DuckDB, and partitionings, at 1e-6-nat resolution nobody
+    can see.  Same aggregate shape as :func:`unigram_lm_scores`
+    (vocabulary exchange + broadcast scoring join; the corpus never
+    shuffles), same ``head_size`` broadcast-Zipf-head scale path with
+    the 0.5/total OOV floor.
+
+    Output: (id, n_tokens long, sum_lp_fp long, mean_lp double) where
+    ``mean_lp = sum_lp_fp / n_tokens / 1e6`` nats/token (exact double
+    division of exact integers — engine-portable)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .filter(F.length("term") > 0))
+    vocab = tr.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
+    total = vocab.agg(F.sum("_tf").alias("_total"))
+    if head_size is None:
+        j = tr.join(F.broadcast(vocab), "term")
+        tf = F.col("_tf")
+    else:
+        head = (vocab.orderBy(F.desc("_tf"), F.asc("term"))
+                     .limit(head_size))
+        j = tr.join(F.broadcast(head), "term", "left")
+        tf = F.col("_tf")
+    j = j.crossJoin(F.broadcast(total))
+    tot = F.col("_total").cast("double")
+    logp = F.when(tf.isNotNull(), F.log(tf.cast("double") / tot)) \
+            .otherwise(F.log(F.lit(0.5) / tot))
+    lp_fp = F.round(logp * F.lit(1000000.0)).cast("long")
+    per = (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(lp_fp).alias("sum_lp_fp")))
+    mean_lp = (F.col("sum_lp_fp").cast("double")
+               / F.col("n_tokens").cast("double") / F.lit(1000000.0))
+    return per.withColumn("mean_lp", mean_lp)
+
+
+PPL_BUCKET_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 3,
+                       method: str = "ntile",
+                       head_size: int | None = None) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by mean corpus
+    surprisal (the unigram KenLM proxy, see
+    :func:`surprisal_scores_fp`) and cut into ``n_buckets`` quantile
+    buckets — bucket 1 = most probable text ("head"), last = least
+    ("tail").  CCNet keeps head+middle and drops or down-weights tail.
+
+    Two assignment methods:
+
+    - ``ntile`` (oracle path): exact NTILE over
+      ``(mean_lp DESC, id)`` — a global sort, fine up to the scale
+      where a total order is affordable, and bit-identical in any SQL
+      engine because the ordering key is exact-integer-derived.
+    - ``cutoff`` (the 10^12-doc path): bucket edges from
+      ``approx_percentile`` over ``mean_lp`` (one mergeable-sketch
+      aggregate, broadcast scalar), assignment by row-local
+      comparison — NO global sort, corpus-scan shape.  Buckets are
+      exactly monotone in ``mean_lp`` by construction; edge placement
+      is approximate (tested to agree with ntile away from
+      boundaries).
+
+    Output: (id, n_tokens, sum_lp_fp, mean_lp, ppl_bucket int, and for
+    n_buckets=3 a ``ppl_label`` head/middle/tail column)."""
+    from pyspark.sql import Window
+    s = surprisal_scores_fp(df, id_col, text_col, head_size=head_size)
+    if method == "ntile":
+        w = Window.orderBy(F.col("mean_lp").desc(), F.col(id_col).asc())
+        out = s.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+    elif method == "cutoff":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # high mean_lp = bucket 1, so cut on the upper tail first
+        edges = s.agg(F.percentile_approx(
+            "mean_lp", [1.0 - p for p in probs]).alias("_edges"))
+        out = s.crossJoin(F.broadcast(edges))
+        b: Column = F.lit(n_buckets)
+        for i in range(n_buckets - 1, 0, -1):
+            b = F.when(F.col("mean_lp") >= F.element_at("_edges", i),
+                       F.lit(i)).otherwise(b)
+        out = out.withColumn("ppl_bucket", b).drop("_edges")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if n_buckets == 3:
+        lab = F.when(F.col("ppl_bucket") == 1, "head") \
+               .when(F.col("ppl_bucket") == 2, "middle") \
+               .otherwise("tail")
+        out = out.withColumn("ppl_label", lab)
+    return out

@@ -1,0 +1,171 @@
+"""Round-5 curation operators: Gopher quality rules, distribution-
+matched resampling, CCNet perplexity buckets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from outliertree_spark.operators.gopher import gopher_rules
+from outliertree_spark.operators.sampling import mix_rates, resample_to_mix
+from outliertree_spark.operators.text import (perplexity_buckets,
+                                              surprisal_scores_fp)
+
+GOOD_PROSE = ("the quick brown fox jumps over the lazy dog and then the "
+              "dog decided that it would have to be quick as well with "
+              "many of the other animals joining in the chase across the "
+              "field and over the hill until everyone was tired of "
+              "running and they all sat down together to rest for a "
+              "while before starting again ") * 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------- gopher
+
+def test_gopher_good_prose_keeps(spark):
+    out = gopher_rules(_docs(spark, [(1, GOOD_PROSE)])).collect()[0]
+    assert out["gopher_keep"] is True
+    assert out["rule_word_count"] and out["rule_stopwords"]
+    assert out["rule_alpha_words"] and out["rule_symbol_ratio"]
+
+
+def test_gopher_each_rule_fires_alone(spark):
+    pad = GOOD_PROSE
+    cases = {
+        2: ("too short", "rule_word_count"),
+        3: (pad + " #### " * 30, "rule_symbol_ratio"),
+        4: (pad + " 123 456 " * 40, "rule_alpha_words"),
+        5: ("\n".join("- bullet point item here ok yes"
+                      for _ in range(40)) + "\n" + pad,
+            "rule_bullet_lines"),
+        6: ("\n".join("a line that trails off..."
+                      for _ in range(40)) + "\n" + pad,
+            "rule_ellipsis_lines"),
+        7: ("zzz qqq xxx " * 60, "rule_stopwords"),
+        8: ("a b c d " * 30 + " the of and that be", "rule_mean_word_len"),
+    }
+    rows = [(i, t) for i, (t, _) in cases.items()]
+    got = {r["doc_id"]: r for r in gopher_rules(_docs(spark, rows)).collect()}
+    for i, (_, rule) in cases.items():
+        assert got[i][rule] is False, (i, rule)
+        assert got[i]["gopher_keep"] is False
+
+
+def test_gopher_empty_and_whitespace_text(spark):
+    got = {r["doc_id"]: r for r in gopher_rules(
+        _docs(spark, [(1, ""), (2, "   \n  ")])).collect()}
+    for i in (1, 2):
+        assert got[i]["n_words"] == 0
+        assert got[i]["gopher_keep"] is False
+        assert got[i]["mean_word_len"] == 0.0
+
+
+# ------------------------------------------------------ resample_mix
+
+def _mix_corpus(spark):
+    rows = ([(i, "en") for i in range(4000)]
+            + [(i + 10000, "de") for i in range(1000)]
+            + [(i + 20000, "fr") for i in range(500)]
+            + [(i + 30000, "zh") for i in range(300)])
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_mix_rates_math_exact(spark):
+    df = _mix_corpus(spark)
+    shares = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    got = {r["lang"]: r for r in mix_rates(df, "lang", shares).collect()}
+    # scale = min(4000/.5, 1000/.3, 500/.2) = min(8000, 3333.3, 2500) = 2500
+    assert got["fr"]["mix_rate"] == pytest.approx(1.0)  # binding group
+    assert got["en"]["mix_rate"] == pytest.approx(0.5 * 2500 / 4000)
+    assert got["de"]["mix_rate"] == pytest.approx(0.3 * 2500 / 1000)
+    assert "zh" not in got  # absent from shares -> no rate row
+
+
+def test_resample_mix_hits_target_distribution(spark):
+    df = _mix_corpus(spark)
+    shares = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = resample_to_mix(df, "lang", shares, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "zh" not in counts
+    total = sum(counts.values())
+    # fr is binding and kept whole; others match shares within hash noise
+    assert counts["fr"] == 500
+    for lang, share in shares.items():
+        assert counts[lang] / total == pytest.approx(share, abs=0.02)
+
+
+def test_resample_mix_deterministic_and_partition_invariant(spark):
+    df = _mix_corpus(spark)
+    shares = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    a = {r["doc_id"] for r in
+         resample_to_mix(df, "lang", shares, "doc_id").collect()}
+    b = {r["doc_id"] for r in
+         resample_to_mix(df.repartition(13), "lang", shares,
+                         "doc_id").collect()}
+    assert a == b
+
+
+def test_resample_mix_md5_flavor_matches_xxhash_semantics(spark):
+    # same math, different hash: proportions agree, row sets differ
+    df = _mix_corpus(spark)
+    shares = {"en": 0.5, "de": 0.5}
+    m = resample_to_mix(df, "lang", shares, "doc_id", hash_kind="md5_60")
+    x = resample_to_mix(df, "lang", shares, "doc_id", hash_kind="xxhash64")
+    cm = dict(m.groupBy("lang").count().collect())
+    cx = dict(x.groupBy("lang").count().collect())
+    for lang in shares:
+        assert cm[lang] == pytest.approx(cx[lang], rel=0.1)
+
+
+# ------------------------------------------------- perplexity buckets
+
+def _ppl_corpus(spark):
+    # doc 1: all very common tokens; doc 3: all rare tokens; doc 2 mixed
+    common = "aa bb " * 50
+    rows = ([(i, common) for i in range(1, 21)]
+            + [(100 + i, common + f"rare{i} " * 5) for i in range(20)]
+            + [(200 + i, f"uniq{i}a uniq{i}b uniq{i}c") for i in range(20)])
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_surprisal_fp_partition_invariant_exact(spark):
+    df = _ppl_corpus(spark)
+    a = sorted(surprisal_scores_fp(df).collect())
+    b = sorted(surprisal_scores_fp(df.repartition(17)).collect())
+    assert a == b  # integer sums: bit-exact under any partitioning
+
+
+def test_perplexity_buckets_order_semantics(spark):
+    out = perplexity_buckets(_ppl_corpus(spark), method="ntile").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r)
+    assert set(by_bucket) == {1, 2, 3}
+    # buckets are contiguous in mean_lp: min of bucket k >= max of k+1
+    assert min(r["mean_lp"] for r in by_bucket[1]) >= \
+           max(r["mean_lp"] for r in by_bucket[2])
+    assert min(r["mean_lp"] for r in by_bucket[2]) >= \
+           max(r["mean_lp"] for r in by_bucket[3])
+    # the all-common docs are head; the all-unique docs are tail
+    labels = {r["doc_id"]: r["ppl_label"] for r in out}
+    assert labels[1] == "head" and labels[201] == "tail"
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes == [20, 20, 20]
+
+
+def test_perplexity_buckets_cutoff_agrees_off_boundary(spark):
+    # three well-separated surprisal tiers: the sketch path must agree
+    # with exact ntile everywhere (no docs near the cut points)
+    df = _ppl_corpus(spark)
+    nt = {r["doc_id"]: r["ppl_bucket"]
+          for r in perplexity_buckets(df, method="ntile").collect()}
+    co = {r["doc_id"]: r["ppl_bucket"]
+          for r in perplexity_buckets(df, method="cutoff").collect()}
+    assert nt == co
+
+
+def test_perplexity_buckets_bad_method_raises(spark):
+    with pytest.raises(ValueError):
+        perplexity_buckets(_ppl_corpus(spark), method="nope")
