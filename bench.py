@@ -348,7 +348,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "paragraph_dedup", "unigram_lm", "length_quantiles",
              "snapshot_diff", "winnowing_overlap", "winnowing",
              "dataset_card", "unigram_lm_head", "span_dedup",
-             "dedup_clusters_collapsed"]
+             "dedup_clusters_collapsed", "gopher_rules", "resample_mix",
+             "perplexity_buckets"]
     qs = entrymod.queries()
     out = {}
     for name in names:
