@@ -298,6 +298,45 @@ def main() -> None:
         plan_of(entrymod.queries()["training_pipeline"](
             spark, "/root/testdata/sf0.001"))))
 
+    from outliertree_spark.operators.gopher import gopher_rules
+    sections.append((
+        "Gopher quality-rule filter set",
+        "All seven rule features + booleans + the keep conjunction in "
+        "ONE row-local projection fused into the scan's whole-stage "
+        "codegen: no exchange, no UDF, no state.  Cost is exactly one "
+        "pass over the text bytes — the filter shape that runs ahead of "
+        "every other curation stage at 10^12 docs.",
+        plan_of(gopher_rules(docs.select("doc_id", "text")))))
+
+    from outliertree_spark.operators.sampling import resample_to_mix
+    sections.append((
+        "Distribution-matched resampling (domain mixing)",
+        "Per-group keep rates come from a counting aggregate over the "
+        "pruned group column (map-side combined; exchange is #groups "
+        "rows) joined to the broadcast share map, with the binding-group "
+        "scalar broadcast back.  The corpus itself sees only a "
+        "BroadcastHashJoin + a codegen'd hash keep predicate: text "
+        "never shuffles, selection is deterministic and "
+        "partitioning-stable.",
+        plan_of(resample_to_mix(docs, "lang",
+                                {"en": 0.4, "de": 0.2, "es": 0.2,
+                                 "fr": 0.2}, "doc_id",
+                                hash_kind="md5_60"))))
+
+    from outliertree_spark.operators.text import perplexity_buckets
+    sections.append((
+        "Perplexity buckets, cutoff scale path (no global sort)",
+        "Fixed-point surprisal (integer micro-nat sums — "
+        "order-independent, so results are partitioning-stable) "
+        "follows the unigram-LM shape: vocab aggregate + broadcast "
+        "scoring join, corpus never shuffles.  Bucket edges come from "
+        "ONE approx_percentile scalar aggregate (mergeable sketch) "
+        "broadcast back; assignment is a row-local comparison chain.  "
+        "No WindowExec / global Sort anywhere — contrast the ntile "
+        "oracle path, which is exact but totally ordered.",
+        plan_of(perplexity_buckets(docs.select("doc_id", "text"),
+                                   method="cutoff", head_size=20000))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
