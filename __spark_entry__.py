@@ -585,6 +585,23 @@ def q_gopher_rules(spark, sf_dir):
         "rule_alpha_words", "rule_stopwords", "gopher_keep")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition-rule set (Rae et al. 2021 Table A1, lower
+    half) over the documents table: duplicate line/paragraph fractions,
+    duplicate line/paragraph char fractions, top-{2,3,4}-gram char
+    fractions, dup-{5..10}-gram char fractions, 13 rule booleans and
+    the keep conjunction — all row-local sorted-run folds, no exchange.
+    Rule booleans compare exact-integer-derived doubles; the displayed
+    fractions are rounded to 6dp only for the value hash."""
+    from outliertree_spark.operators.gopher import gopher_repetition
+    out = gopher_repetition(_docs(spark, sf_dir))
+    feats = [c for c in out.columns if c.endswith("_frac")]
+    tail = [c for c in out.columns
+            if c.startswith("rule_") or c == "repetition_keep"]
+    return out.select("doc_id",
+                      *[F.round(c, 6).alias(c) for c in feats], *tail)
+
+
 def q_resample_mix(spark, sf_dir):
     """Distribution-matched deterministic resampling (DoReMi/FineWeb
     domain mixing): downsample so the surviving language mix is
@@ -1144,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "unigram_lm_head": q_unigram_lm_head,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
@@ -2083,6 +2101,143 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8
                     AND n_stop_hits >= 2) AS gopher_keep
             FROM h
+        """,
+        "gopher_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, length(text) AS tc,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> length(x) > 0) AS words,
+                       list_filter(list_transform(
+                            regexp_split_to_array(text, '\n'),
+                            x -> trim(x)), x -> length(x) > 0) AS lines,
+                       list_filter(list_transform(
+                            regexp_split_to_array(text, '\n{2,}'),
+                            x -> trim(x)), x -> length(x) > 0) AS paras
+                FROM documents),
+            gg AS (
+                SELECT doc_id, n,
+                       array_to_string(list_slice(words, i, i + n - 1),
+                                       ' ') AS gram
+                FROM w
+                CROSS JOIN unnest([2,3,4,5,6,7,8,9,10]) AS nn(n)
+                CROSS JOIN unnest(range(1, len(words) - n + 2)) AS t(i)
+                WHERE len(words) >= n),
+            tg AS (SELECT doc_id, n, gram, count(*) AS c
+                   FROM gg GROUP BY 1, 2, 3),
+            sg AS (SELECT doc_id, n, max(c * length(gram)) AS best,
+                          coalesce(sum(CASE WHEN c > 1
+                                       THEN c * length(gram) END), 0) AS dup
+                   FROM tg GROUP BY 1, 2),
+            piv AS (SELECT doc_id,
+                       max(CASE WHEN n = 2 THEN best END) AS best2,
+                       max(CASE WHEN n = 3 THEN best END) AS best3,
+                       max(CASE WHEN n = 4 THEN best END) AS best4,
+                       max(CASE WHEN n = 5 THEN dup END) AS dup5,
+                       max(CASE WHEN n = 6 THEN dup END) AS dup6,
+                       max(CASE WHEN n = 7 THEN dup END) AS dup7,
+                       max(CASE WHEN n = 8 THEN dup END) AS dup8,
+                       max(CASE WHEN n = 9 THEN dup END) AS dup9,
+                       max(CASE WHEN n = 10 THEN dup END) AS dup10
+                    FROM sg GROUP BY 1),
+            ll AS (SELECT doc_id, unnest(lines) AS v FROM w),
+            lc AS (SELECT doc_id, v, count(*) AS c FROM ll GROUP BY 1, 2),
+            ls AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                          sum(c * length(v)) AS ch,
+                          coalesce(sum(CASE WHEN c > 1
+                                       THEN c * length(v) END), 0) AS dup
+                   FROM lc GROUP BY 1),
+            pp AS (SELECT doc_id, unnest(paras) AS v FROM w),
+            pc AS (SELECT doc_id, v, count(*) AS c FROM pp GROUP BY 1, 2),
+            ps AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                          sum(c * length(v)) AS ch,
+                          coalesce(sum(CASE WHEN c > 1
+                                       THEN c * length(v) END), 0) AS dup
+                   FROM pc GROUP BY 1),
+            f AS (
+                SELECT w.doc_id,
+                    CASE WHEN coalesce(ls.n, 0) > 0 THEN
+                         CAST(ls.n - ls.nd AS DOUBLE) / CAST(ls.n AS DOUBLE)
+                         ELSE 0.0 END AS dup_line_frac,
+                    CASE WHEN coalesce(ps.n, 0) > 0 THEN
+                         CAST(ps.n - ps.nd AS DOUBLE) / CAST(ps.n AS DOUBLE)
+                         ELSE 0.0 END AS dup_para_frac,
+                    CASE WHEN coalesce(ls.ch, 0) > 0 THEN
+                         CAST(ls.dup AS DOUBLE) / CAST(ls.ch AS DOUBLE)
+                         ELSE 0.0 END AS dup_line_char_frac,
+                    CASE WHEN coalesce(ps.ch, 0) > 0 THEN
+                         CAST(ps.dup AS DOUBLE) / CAST(ps.ch AS DOUBLE)
+                         ELSE 0.0 END AS dup_para_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.best2, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS top_2gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.best3, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS top_3gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.best4, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS top_4gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup5, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_5gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup6, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_6gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup7, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_7gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup8, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_8gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup9, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_9gram_char_frac,
+                    CASE WHEN w.tc > 0 THEN CAST(coalesce(piv.dup10, 0)
+                         AS DOUBLE) / CAST(w.tc AS DOUBLE)
+                         ELSE 0.0 END AS dup_10gram_char_frac
+                FROM w
+                LEFT JOIN piv ON w.doc_id = piv.doc_id
+                LEFT JOIN ls ON w.doc_id = ls.doc_id
+                LEFT JOIN ps ON w.doc_id = ps.doc_id)
+            SELECT doc_id,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   round(dup_para_frac, 6) AS dup_para_frac,
+                   round(dup_line_char_frac, 6) AS dup_line_char_frac,
+                   round(dup_para_char_frac, 6) AS dup_para_char_frac,
+                   round(top_2gram_char_frac, 6) AS top_2gram_char_frac,
+                   round(top_3gram_char_frac, 6) AS top_3gram_char_frac,
+                   round(top_4gram_char_frac, 6) AS top_4gram_char_frac,
+                   round(dup_5gram_char_frac, 6) AS dup_5gram_char_frac,
+                   round(dup_6gram_char_frac, 6) AS dup_6gram_char_frac,
+                   round(dup_7gram_char_frac, 6) AS dup_7gram_char_frac,
+                   round(dup_8gram_char_frac, 6) AS dup_8gram_char_frac,
+                   round(dup_9gram_char_frac, 6) AS dup_9gram_char_frac,
+                   round(dup_10gram_char_frac, 6) AS dup_10gram_char_frac,
+                   (dup_line_frac <= 0.30) AS rule_dup_lines,
+                   (dup_para_frac <= 0.30) AS rule_dup_paras,
+                   (dup_line_char_frac <= 0.20) AS rule_dup_line_chars,
+                   (dup_para_char_frac <= 0.20) AS rule_dup_para_chars,
+                   (top_2gram_char_frac <= 0.20) AS rule_top_2gram,
+                   (top_3gram_char_frac <= 0.18) AS rule_top_3gram,
+                   (top_4gram_char_frac <= 0.16) AS rule_top_4gram,
+                   (dup_5gram_char_frac <= 0.15) AS rule_dup_5gram,
+                   (dup_6gram_char_frac <= 0.14) AS rule_dup_6gram,
+                   (dup_7gram_char_frac <= 0.13) AS rule_dup_7gram,
+                   (dup_8gram_char_frac <= 0.12) AS rule_dup_8gram,
+                   (dup_9gram_char_frac <= 0.11) AS rule_dup_9gram,
+                   (dup_10gram_char_frac <= 0.10) AS rule_dup_10gram,
+                   (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+                    AND dup_line_char_frac <= 0.20
+                    AND dup_para_char_frac <= 0.20
+                    AND top_2gram_char_frac <= 0.20
+                    AND top_3gram_char_frac <= 0.18
+                    AND top_4gram_char_frac <= 0.16
+                    AND dup_5gram_char_frac <= 0.15
+                    AND dup_6gram_char_frac <= 0.14
+                    AND dup_7gram_char_frac <= 0.13
+                    AND dup_8gram_char_frac <= 0.12
+                    AND dup_9gram_char_frac <= 0.11
+                    AND dup_10gram_char_frac <= 0.10) AS repetition_keep
+            FROM f
         """,
         "resample_mix": """
             WITH tgt(lang, share) AS (VALUES ('de', 0.2), ('en', 0.4),

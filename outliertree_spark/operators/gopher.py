@@ -133,3 +133,181 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         r_alpha.alias("rule_alpha_words"),
         r_stop.alias("rule_stopwords"),
         keep.alias("gopher_keep"))
+
+
+# --- Gopher repetition rules (Table A1, lower half) -------------------
+
+# (threshold, metric) pairs exactly as published: max fraction of
+# duplicate lines/paragraphs, max fraction of characters in duplicate
+# lines/paragraphs, max char fraction of the top {2,3,4}-gram, max char
+# fraction covered by duplicated {5..10}-grams.
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_PARA_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_DUP_PARA_CHAR_FRAC = 0.20
+REP_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_MAX_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                               9: 0.11, 10: 0.10}
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """Fold a SORTED string array into struct(best, dup):
+
+    - ``best`` = max over distinct values of ``count * length`` (chars
+      covered by the most repetitious value, singletons included);
+    - ``dup``  = sum over values occurring more than once of
+      ``count * length`` (chars covered by ALL occurrences of
+      duplicated values).
+
+    One sequential ``aggregate`` pass, O(1) state: equal values are
+    adjacent after the sort, so runs finalize on value change (and once
+    more in the finish lambda).  Exact integer arithmetic — any engine
+    computing counts per distinct value gets the same numbers."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"))
+
+    def _merge(acc, g):
+        run = F.coalesce(acc["cnt"] * F.length(acc["prev"]).cast("long"),
+                         F.lit(0).cast("long"))
+        same = acc["prev"].eqNullSafe(g)
+        return F.when(same, F.struct(
+            acc["prev"].alias("prev"),
+            (acc["cnt"] + F.lit(1)).alias("cnt"),
+            acc["best"].alias("best"),
+            acc["dup"].alias("dup"))
+        ).otherwise(F.struct(
+            g.alias("prev"),
+            F.lit(1).cast("long").alias("cnt"),
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["dup"] + F.when(acc["cnt"] > 1, run)
+                           .otherwise(F.lit(0))).alias("dup")))
+
+    def _finish(acc):
+        run = F.coalesce(acc["cnt"] * F.length(acc["prev"]).cast("long"),
+                         F.lit(0).cast("long"))
+        return F.struct(
+            F.greatest(acc["best"], run).alias("best"),
+            (acc["dup"] + F.when(acc["cnt"] > 1, run)
+                           .otherwise(F.lit(0))).alias("dup"))
+
+    return F.aggregate(sorted_arr, init, _merge, _finish)
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition-rule features + booleans (Rae et al. 2021
+    Table A1, lower half): duplicate line/paragraph fractions,
+    duplicate line/paragraph CHARACTER fractions, top-{2,3,4}-gram
+    character fractions, duplicated-{5..10}-gram character fractions,
+    and the conjunction ``repetition_keep``.
+
+    Definitions (documented because published implementations differ;
+    the DuckDB oracle recomputes the identical quantities):
+
+    - lines = trimmed non-empty pieces of splitting on ``\\n``;
+      paragraphs on ``\\n{2,}``.  ``dup_line_frac`` counts occurrences
+      beyond the first over all lines; ``dup_line_char_frac`` counts
+      characters over ALL occurrences of duplicated lines, divided by
+      total line characters.
+    - word n-grams are space-joined windows over whitespace tokens
+      (overlap-naive); char fractions divide by ``length(text)``.
+      ``top_ngram_char_frac`` = chars covered by the n-gram maximizing
+      ``count*length`` (singletons included); ``dup_ngram_char_frac``
+      = chars covered by all occurrences of n-grams appearing twice+.
+
+    Shape: entirely row-local — tokenize once, and per n-gram order one
+    ``array_sort`` plus ONE O(P) fold (:func:`_run_stats`); no
+    exchange, no UDF, no state, so cost scales with the scan exactly
+    like :func:`gopher_rules`.  The token/line/paragraph arrays live
+    behind their own projection boundary (the Catalyst re-inline guard
+    measured in operators/text.py winnowing_fingerprints); every ratio
+    is an exact-integer division, so rule booleans cannot flip on float
+    noise in any engine."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.trim(c), r"\s+"),
+                     lambda w: F.length(w) > 0)
+    lines = F.filter(F.transform(F.split(c, r"\n"), F.trim),
+                     lambda l: F.length(l) > 0)
+    paras = F.filter(F.transform(F.split(c, r"\n{2,}"), F.trim),
+                     lambda p: F.length(p) > 0)
+    d1 = df.select(F.col(id_col),
+                   F.length(c).cast("long").alias("_tc"),
+                   words.alias("_w"), lines.alias("_l"),
+                   paras.alias("_p"))
+
+    w, l, p = F.col("_w"), F.col("_l"), F.col("_p")
+    nw = F.size(w)
+    stat_cols = []
+    def _gram_at(n):
+        # NB: a `lambda i, n=n:` default-arg closure would change the
+        # lambda's arity — pyspark's transform() passes (element, index)
+        # to binary lambdas, silently shadowing n with the index.
+        return lambda i: F.array_join(F.slice(w, i, n), " ")
+
+    for n in (*REP_MAX_TOP_NGRAM_CHAR_FRAC, *REP_MAX_DUP_NGRAM_CHAR_FRAC):
+        grams = F.when(nw >= n, F.transform(
+            F.sequence(F.lit(1), nw - n + 1), _gram_at(n))
+        ).otherwise(F.array().cast("array<string>"))
+        stat_cols.append(_run_stats(F.array_sort(grams)).alias(f"_g{n}"))
+
+    def _seq_stats(arr, tag):
+        lens = F.transform(arr, F.length)
+        return [
+            F.size(arr).cast("long").alias(f"_n{tag}"),
+            F.size(F.array_distinct(arr)).cast("long").alias(f"_nd{tag}"),
+            F.aggregate(lens, F.lit(0).cast("long"),
+                        lambda a, x: a + x).alias(f"_ch{tag}"),
+            _run_stats(F.array_sort(arr)).alias(f"_s{tag}"),
+        ]
+
+    d2 = d1.select(F.col(id_col), F.col("_tc"), *stat_cols,
+                   *_seq_stats(l, "l"), *_seq_stats(p, "p"))
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")) \
+                .otherwise(F.lit(0.0))
+
+    tc = F.col("_tc")
+    feats = [
+        _frac(F.col("_nl") - F.col("_ndl"), F.col("_nl"))
+        .alias("dup_line_frac"),
+        _frac(F.col("_np") - F.col("_ndp"), F.col("_np"))
+        .alias("dup_para_frac"),
+        _frac(F.col("_sl")["dup"], F.col("_chl"))
+        .alias("dup_line_char_frac"),
+        _frac(F.col("_sp")["dup"], F.col("_chp"))
+        .alias("dup_para_char_frac"),
+    ]
+    for n in REP_MAX_TOP_NGRAM_CHAR_FRAC:
+        feats.append(_frac(F.col(f"_g{n}")["best"], tc)
+                     .alias(f"top_{n}gram_char_frac"))
+    for n in REP_MAX_DUP_NGRAM_CHAR_FRAC:
+        feats.append(_frac(F.col(f"_g{n}")["dup"], tc)
+                     .alias(f"dup_{n}gram_char_frac"))
+    d3 = d2.select(F.col(id_col), *feats)
+
+    rules = [
+        (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC)
+        .alias("rule_dup_lines"),
+        (F.col("dup_para_frac") <= REP_MAX_DUP_PARA_FRAC)
+        .alias("rule_dup_paras"),
+        (F.col("dup_line_char_frac") <= REP_MAX_DUP_LINE_CHAR_FRAC)
+        .alias("rule_dup_line_chars"),
+        (F.col("dup_para_char_frac") <= REP_MAX_DUP_PARA_CHAR_FRAC)
+        .alias("rule_dup_para_chars"),
+    ]
+    for n, t in REP_MAX_TOP_NGRAM_CHAR_FRAC.items():
+        rules.append((F.col(f"top_{n}gram_char_frac") <= t)
+                     .alias(f"rule_top_{n}gram"))
+    for n, t in REP_MAX_DUP_NGRAM_CHAR_FRAC.items():
+        rules.append((F.col(f"dup_{n}gram_char_frac") <= t)
+                     .alias(f"rule_dup_{n}gram"))
+    keep = rules[0].cast("boolean")
+    for r in rules[1:]:
+        keep = keep & r
+    return d3.select(F.col(id_col),
+                     *[c for c in d3.columns if c != id_col],
+                     *rules, keep.alias("repetition_keep"))

@@ -169,3 +169,54 @@ def test_perplexity_buckets_cutoff_agrees_off_boundary(spark):
 def test_perplexity_buckets_bad_method_raises(spark):
     with pytest.raises(ValueError):
         perplexity_buckets(_ppl_corpus(spark), method="nope")
+
+
+# ---------------------------------------------------------- repetition
+
+def test_repetition_hand_computed_fracs(spark):
+    from outliertree_spark.operators.gopher import gopher_repetition
+    # "w1 w2 w3 w4 w5" appears twice (28 chars over both occurrences),
+    # text is 38 chars; top 2-gram "w1 w2" (len 5) occurs twice -> 10.
+    out = gopher_repetition(_docs(
+        spark, [(1, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 u1 u2 u3")])).collect()[0]
+    assert out["dup_5gram_char_frac"] == pytest.approx(28 / 38)
+    assert out["top_2gram_char_frac"] == pytest.approx(10 / 38)
+    assert out["dup_6gram_char_frac"] == 0.0
+    assert not out["rule_dup_5gram"] and out["rule_dup_6gram"]
+
+
+def test_repetition_dup_lines_and_paras(spark):
+    from outliertree_spark.operators.gopher import gopher_repetition
+    out = gopher_repetition(_docs(
+        spark, [(1, "line one\nline one\nline two\nline one"),
+                (2, "para A\n\npara A\n\npara B")])).orderBy("doc_id").collect()
+    d1, d2 = out
+    # 4 lines, 2 distinct -> 2 dup occurrences beyond first
+    assert d1["dup_line_frac"] == pytest.approx(2 / 4)
+    # "line one" x3 = 24 chars of 32 total line chars
+    assert d1["dup_line_char_frac"] == pytest.approx(24 / 32)
+    assert d2["dup_para_frac"] == pytest.approx(1 / 3)
+    assert d2["dup_para_char_frac"] == pytest.approx(12 / 18)
+    assert not d1["rule_dup_lines"] and not d2["rule_dup_paras"]
+
+
+def test_repetition_clean_and_empty_docs_keep(spark):
+    from outliertree_spark.operators.gopher import gopher_repetition
+    long_unique = " ".join(f"tok{i:04d}" for i in range(300))
+    out = gopher_repetition(_docs(
+        spark, [(1, long_unique), (2, ""), (3, "   ")])).orderBy(
+        "doc_id").collect()
+    for row in out:
+        assert row["repetition_keep"] is True, row
+    assert out[0]["dup_line_frac"] == 0.0
+    assert out[1]["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_top_gram_counts_singletons(spark):
+    from outliertree_spark.operators.gopher import gopher_repetition
+    # no repeats at all: top 2-gram is still the longest single 2-gram
+    out = gopher_repetition(_docs(
+        spark, [(1, "aa bbbb c")])).collect()[0]
+    # 2-grams: "aa bbbb" (7), "bbbb c" (6); text = 9 chars
+    assert out["top_2gram_char_frac"] == pytest.approx(7 / 9)
+    assert out["dup_5gram_char_frac"] == 0.0

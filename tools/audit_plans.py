@@ -308,6 +308,18 @@ def main() -> None:
         "every other curation stage at 10^12 docs.",
         plan_of(gopher_rules(docs.select("doc_id", "text")))))
 
+    from outliertree_spark.operators.gopher import gopher_repetition
+    sections.append((
+        "Gopher repetition-rule set",
+        "All 13 repetition features (dup lines/paras, top/dup n-gram "
+        "char fractions for n=2..10) in three staged row-local "
+        "projections: tokenize once, then per n-gram order one "
+        "array_sort plus ONE O(P) sequential run fold (aggregate with "
+        "finish lambda).  No exchange, no UDF — the plan is a single "
+        "scan stage, so cost scales with the corpus scan exactly like "
+        "the quality rules.",
+        plan_of(gopher_repetition(docs.select("doc_id", "text")))))
+
     from outliertree_spark.operators.sampling import resample_to_mix
     sections.append((
         "Distribution-matched resampling (domain mixing)",
