@@ -196,43 +196,34 @@ def _run_stats(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, _merge, _finish)
 
 
-def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
-    """Gopher repetition-rule features + booleans (Rae et al. 2021
-    Table A1, lower half): duplicate line/paragraph fractions,
-    duplicate line/paragraph CHARACTER fractions, top-{2,3,4}-gram
-    character fractions, duplicated-{5..10}-gram character fractions,
-    and the conjunction ``repetition_keep``.
+def _rep_feature_frame_catalyst(df, id_col: str, text_col: str) -> DataFrame:
+    """Pure-Catalyst repetition features: per n-gram order one
+    ``array_sort`` plus ONE O(P) sequential run fold
+    (:func:`_run_stats`), staged projections guarding the re-inline
+    trap measured in operators/text.py winnowing_fingerprints.  Kept as
+    the engine-portable reference twin — Spark's higher-order functions
+    evaluate INTERPRETED (outside whole-stage codegen), so this path
+    runs ~10x slower than the Arrow default (500k stress docs,
+    local[32]: 160s vs 16s) and exists for plan-purity (zero Python in
+    the plan) and as the equivalence oracle for the Arrow path.
 
-    Definitions (documented because published implementations differ;
-    the DuckDB oracle recomputes the identical quantities):
-
-    - lines = trimmed non-empty pieces of splitting on ``\\n``;
-      paragraphs on ``\\n{2,}``.  ``dup_line_frac`` counts occurrences
-      beyond the first over all lines; ``dup_line_char_frac`` counts
-      characters over ALL occurrences of duplicated lines, divided by
-      total line characters.
-    - word n-grams are space-joined windows over whitespace tokens
-      (overlap-naive); char fractions divide by ``length(text)``.
-      ``top_ngram_char_frac`` = chars covered by the n-gram maximizing
-      ``count*length`` (singletons included); ``dup_ngram_char_frac``
-      = chars covered by all occurrences of n-grams appearing twice+.
-
-    Shape: entirely row-local — tokenize once, and per n-gram order one
-    ``array_sort`` plus ONE O(P) fold (:func:`_run_stats`); no
-    exchange, no UDF, no state, so cost scales with the scan exactly
-    like :func:`gopher_rules`.  The token/line/paragraph arrays live
-    behind their own projection boundary (the Catalyst re-inline guard
-    measured in operators/text.py winnowing_fingerprints); every ratio
-    is an exact-integer division, so rule booleans cannot flip on float
-    noise in any engine."""
+    Measured dead end (kept out): grouping by ``struct(xxhash64(slice),
+    summed-len)`` instead of the joined gram string — avoids string
+    materialization but is SLOWER (100k docs, local[32]: n=5 2.8s vs
+    2.1s, n=10 3.0s vs 1.7s; the per-position interpreted length fold
+    costs more than the string join saves) and would trade exact
+    grouping for 64-bit-hash grouping."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     words = F.filter(F.split(F.trim(c), r"\s+"),
                      lambda w: F.length(w) > 0)
-    lines = F.filter(F.transform(F.split(c, r"\n"), F.trim),
-                     lambda l: F.length(l) > 0)
-    paras = F.filter(F.transform(F.split(c, r"\n{2,}"), F.trim),
-                     lambda p: F.length(p) > 0)
+    # NB: F.trim must be wrapped — passing it bare makes transform()
+    # see a binary callable (trim has an optional trimstr parameter)
+    # and silently pass the element INDEX as the trim string (no-op).
+    lines = F.filter(F.transform(F.split(c, r"\n"), lambda x: F.trim(x)),
+                     lambda s: F.length(s) > 0)
+    paras = F.filter(F.transform(F.split(c, r"\n{2,}"),
+                                 lambda x: F.trim(x)),
+                     lambda s: F.length(s) > 0)
     d1 = df.select(F.col(id_col),
                    F.length(c).cast("long").alias("_tc"),
                    words.alias("_w"), lines.alias("_l"),
@@ -241,6 +232,7 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     w, l, p = F.col("_w"), F.col("_l"), F.col("_p")
     nw = F.size(w)
     stat_cols = []
+
     def _gram_at(n):
         # NB: a `lambda i, n=n:` default-arg closure would change the
         # lambda's arity — pyspark's transform() passes (element, index)
@@ -287,7 +279,141 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     for n in REP_MAX_DUP_NGRAM_CHAR_FRAC:
         feats.append(_frac(F.col(f"_g{n}")["dup"], tc)
                      .alias(f"dup_{n}gram_char_frac"))
-    d3 = d2.select(F.col(id_col), *feats)
+    return d2.select(F.col(id_col), *feats)
+
+
+REP_FEATURE_COLS = (
+    "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+    "dup_para_char_frac",
+    *(f"top_{n}gram_char_frac" for n in REP_MAX_TOP_NGRAM_CHAR_FRAC),
+    *(f"dup_{n}gram_char_frac" for n in REP_MAX_DUP_NGRAM_CHAR_FRAC),
+)
+
+
+def _rep_feature_frame_arrow(df, id_col: str, text_col: str) -> DataFrame:
+    """Arrow-batched repetition features: ONE mapInPandas pass running
+    a per-document Counter sweep — the scale default (~10x the
+    Catalyst-HOF twin, which evaluates interpreted; 500k stress docs at
+    local[32]: 16s vs 160s).  Python-side text handling deliberately
+    mirrors the JVM semantics bit-for-bit (ASCII \\s+ word split,
+    space-only trim, code-point lengths); the equivalence is pinned by
+    tests/test_curation_ops.py::test_repetition_impls_equivalent over
+    edge docs (tabs, \\xa0, \\r, unicode thin space) and the
+    fixture corpus — divisions are exact-int-over-exact-int in IEEE
+    doubles on both paths, so equality is exact, not approximate."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    split_ws = re.compile(r"\s+", re.ASCII)
+    split_para = re.compile(r"\n{2,}")
+    top_ns = tuple(REP_MAX_TOP_NGRAM_CHAR_FRAC)
+    dup_ns = tuple(REP_MAX_DUP_NGRAM_CHAR_FRAC)
+
+    def _seq_stats(vals):
+        cnt = Counter(vals)
+        n = len(vals)
+        nd = len(cnt)
+        ch = dup = 0
+        for v, c in cnt.items():
+            s = c * len(v)
+            ch += s
+            if c > 1:
+                dup += s
+        return n, nd, ch, dup
+
+    def _batches(it):
+        for pdf in it:
+            out = {"_id": pdf[id_col]}
+            cols = {k: [] for k in REP_FEATURE_COLS}
+            for text in pdf[text_col]:
+                text = text or ""
+                tc = len(text)
+                words = [t for t in split_ws.split(text.strip(" ")) if t]
+                ln, lnd, lch, ldup = _seq_stats(
+                    [s for s in (x.strip(" ") for x in text.split("\n"))
+                     if s])
+                pn, pnd, pch, pdup = _seq_stats(
+                    [s for s in (x.strip(" ")
+                                 for x in split_para.split(text)) if s])
+                cols["dup_line_frac"].append(
+                    (ln - lnd) / ln if ln else 0.0)
+                cols["dup_para_frac"].append(
+                    (pn - pnd) / pn if pn else 0.0)
+                cols["dup_line_char_frac"].append(
+                    ldup / lch if lch else 0.0)
+                cols["dup_para_char_frac"].append(
+                    pdup / pch if pch else 0.0)
+                for n in (*top_ns, *dup_ns):
+                    if len(words) >= n:
+                        cnt = Counter(zip(*(words[i:] for i in range(n))))
+                        best = dup = 0
+                        for g, c in cnt.items():
+                            val = c * (sum(map(len, g)) + n - 1)
+                            if val > best:
+                                best = val
+                            if c > 1:
+                                dup += val
+                    else:
+                        best = dup = 0
+                    if n in top_ns:
+                        cols[f"top_{n}gram_char_frac"].append(
+                            best / tc if tc else 0.0)
+                    else:
+                        cols[f"dup_{n}gram_char_frac"].append(
+                            dup / tc if tc else 0.0)
+            out.update(cols)
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"_id {id_type}"]
+                       + [f"{k} double" for k in REP_FEATURE_COLS])
+    return (df.select(F.col(id_col), F.col(text_col))
+              .mapInPandas(_batches, schema)
+              .withColumnRenamed("_id", id_col))
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      impl: str = "arrow") -> DataFrame:
+    """Gopher repetition-rule features + booleans (Rae et al. 2021
+    Table A1, lower half): duplicate line/paragraph fractions,
+    duplicate line/paragraph CHARACTER fractions, top-{2,3,4}-gram
+    character fractions, duplicated-{5..10}-gram character fractions,
+    and the conjunction ``repetition_keep``.
+
+    Definitions (documented because published implementations differ;
+    the DuckDB oracle recomputes the identical quantities):
+
+    - lines = space-trimmed non-empty pieces of splitting on ``\\n``;
+      paragraphs on ``\\n{2,}``.  ``dup_line_frac`` counts occurrences
+      beyond the first over all lines; ``dup_line_char_frac`` counts
+      characters over ALL occurrences of duplicated lines, divided by
+      total line characters.
+    - word n-grams are space-joined windows over whitespace tokens
+      (overlap-naive); char fractions divide by ``length(text)``.
+      ``top_ngram_char_frac`` = chars covered by the n-gram maximizing
+      ``count*length`` (singletons included); ``dup_ngram_char_frac``
+      = chars covered by all occurrences of n-grams appearing twice+.
+
+    ``impl="arrow"`` (default) computes the 13 features in ONE
+    Arrow-batched mapInPandas Counter sweep — still perfectly row-local
+    (no exchange, no state), ~10x the ``impl="catalyst"`` twin, which
+    keeps the whole computation in JVM expressions (Spark higher-order
+    functions evaluate interpreted, hence the gap).  Both paths emit
+    bit-identical doubles (equivalence-tested); rule booleans compare
+    exact-integer-derived doubles against literal thresholds on either
+    path.  Narrow inputs are fanned out first (operators/dedup._spread
+    — a no-op at real scale where inputs are many files)."""
+    from .dedup import _spread
+    df = _spread(df)
+    if impl == "arrow":
+        d3 = _rep_feature_frame_arrow(df, id_col, text_col)
+    elif impl == "catalyst":
+        d3 = _rep_feature_frame_catalyst(df, id_col, text_col)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
 
     rules = [
         (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC)

@@ -220,3 +220,40 @@ def test_repetition_top_gram_counts_singletons(spark):
     # 2-grams: "aa bbbb" (7), "bbbb c" (6); text = 9 chars
     assert out["top_2gram_char_frac"] == pytest.approx(7 / 9)
     assert out["dup_5gram_char_frac"] == 0.0
+
+
+def test_repetition_impls_equivalent(spark):
+    """The Arrow default and the Catalyst twin must emit bit-identical
+    doubles — including on the whitespace edge cases where JVM and
+    Python semantics habitually diverge (ASCII-only \\s, space-only
+    trim, \\xa0 non-breaking space, \\r line tails).  This test is what
+    caught F.transform(split, F.trim) silently NOT trimming (bare
+    F.trim has an optional second param, so transform passes the
+    element index as the trim string)."""
+    from outliertree_spark.operators.gopher import gopher_repetition
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5 u1 u2 u3"),
+        (2, "\t a b \t"),
+        (3, "x\xa0y z x\xa0y z x\xa0y z x\xa0y z"),
+        (4, " \r\nline one \r\nline one\r\n"),
+        (5, "  spaced  \n  spaced  \npara\n\npara  \n\n  para"),
+        (6, ""), (7, "   "), (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r.asDict()
+         for r in gopher_repetition(df, impl="arrow").collect()}
+    c = {r["doc_id"]: r.asDict()
+         for r in gopher_repetition(df, impl="catalyst").collect()}
+    assert a == c
+
+
+def test_repetition_trimmed_lines_detected_as_dups(spark):
+    # '  spaced  ' lines differ in raw bytes but are equal after the
+    # space-only trim — both impls must count them as duplicates.
+    from outliertree_spark.operators.gopher import gopher_repetition
+    df = spark.createDataFrame(
+        [(1, "  spaced  \nspaced\nother line here")],
+        "doc_id long, text string")
+    for impl in ("arrow", "catalyst"):
+        out = gopher_repetition(df, impl=impl).collect()[0]
+        assert out["dup_line_frac"] == pytest.approx(1 / 3), impl

@@ -310,15 +310,27 @@ def main() -> None:
 
     from outliertree_spark.operators.gopher import gopher_repetition
     sections.append((
-        "Gopher repetition-rule set",
+        "Gopher repetition-rule set (Arrow default)",
         "All 13 repetition features (dup lines/paras, top/dup n-gram "
-        "char fractions for n=2..10) in three staged row-local "
-        "projections: tokenize once, then per n-gram order one "
-        "array_sort plus ONE O(P) sequential run fold (aggregate with "
-        "finish lambda).  No exchange, no UDF — the plan is a single "
-        "scan stage, so cost scales with the corpus scan exactly like "
-        "the quality rules.",
+        "char fractions for n=2..10) in ONE Arrow-batched mapInPandas "
+        "Counter sweep — row-local, no data-dependent exchange (the "
+        "only Exchange is the narrow-input fan-out, a no-op at real "
+        "scale).  Chosen over the pure-Catalyst twin below by "
+        "measurement: Spark HOFs evaluate interpreted, so the "
+        "expression version runs ~10x slower (500k docs local[32]: "
+        "160s vs 16s); both emit bit-identical doubles "
+        "(equivalence-tested incl. whitespace edge cases).",
         plan_of(gopher_repetition(docs.select("doc_id", "text")))))
+
+    sections.append((
+        "Gopher repetition-rule set (Catalyst twin, zero Python)",
+        "The engine-portable reference path: per n-gram order one "
+        "array_sort plus ONE O(P) sequential run fold (aggregate with "
+        "finish lambda) in staged row-local projections — no UDF "
+        "anywhere, kept as the equivalence oracle for the Arrow "
+        "default and for deployments that must stay JVM-only.",
+        plan_of(gopher_repetition(docs.select("doc_id", "text"),
+                                  impl="catalyst"))))
 
     from outliertree_spark.operators.sampling import resample_to_mix
     sections.append((
