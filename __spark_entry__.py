@@ -629,6 +629,21 @@ def q_perplexity_buckets(spark, sf_dir):
                       "ppl_bucket", "ppl_label")
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Stupid-Backoff bigram surprisal (Brants et al. 2007) in the
+    broadcast-head scale configuration (head_size=20 for both
+    vocabularies — the fixture vocabulary is only 31 terms, so this cut
+    makes the oracle exercise ALL THREE scoring branches: 745 in-head
+    bigram transitions, 17,508 backoffs through an in-head unigram,
+    8,412 hits of the 0.5 out-of-head floor at sf0.01).  Fixed-point micro-nat integer sums
+    — order-independent, bit-identical in any engine; see
+    text.bigram_lm_scores_fp."""
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    out = bigram_lm_scores_fp(_docs(spark, sf_dir), head_size=20)
+    return out.select("doc_id", "n_trans", "sum_lp_fp",
+                      F.round("mean_lp", 6).alias("mean_lp"))
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return (d.select(F.md5("text").alias("text_hash"), "doc_id")
@@ -1162,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_head": q_unigram_lm_head,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
+        "bigram_lm": q_bigram_lm,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
@@ -2238,6 +2254,44 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_9gram_char_frac <= 0.11
                     AND dup_10gram_char_frac <= 0.10) AS repetition_keep
             FROM f
+        """,
+        "bigram_lm": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                            lower(trim(text)), '\s+'),
+                            t -> t <> '') AS ts
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(ts) AS term FROM w),
+            ucnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c) AS total FROM ucnt),
+            bgr AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+                    FROM w CROSS JOIN unnest(range(1, len(ts))) AS t(i)
+                    WHERE len(ts) >= 2),
+            bcnt AS (SELECT w1, w2, count(*) AS cb FROM bgr GROUP BY 1, 2),
+            bhead AS (SELECT * FROM bcnt
+                      ORDER BY cb DESC, w1 ASC, w2 ASC LIMIT 20),
+            uhead AS (SELECT * FROM ucnt
+                      ORDER BY c DESC, term ASC LIMIT 20),
+            lp AS (SELECT bgr.doc_id,
+                       CAST(round(CASE
+                           WHEN bh.cb IS NOT NULL AND u1.c IS NOT NULL
+                           THEN ln(CAST(bh.cb AS DOUBLE)
+                                   / CAST(u1.c AS DOUBLE))
+                           ELSE ln((0.4 * coalesce(CAST(u2.c AS DOUBLE),
+                                                   0.5))
+                                   / CAST(total AS DOUBLE))
+                           END * 1000000.0) AS BIGINT) AS fp
+                   FROM bgr
+                   LEFT JOIN bhead bh
+                          ON bgr.w1 = bh.w1 AND bgr.w2 = bh.w2
+                   LEFT JOIN uhead u1 ON bgr.w1 = u1.term
+                   LEFT JOIN uhead u2 ON bgr.w2 = u2.term, tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trans,
+                   CAST(sum(fp) AS BIGINT) AS sum_lp_fp,
+                   round(CAST(sum(fp) AS DOUBLE) / count(*) / 1000000.0,
+                         6) AS mean_lp
+            FROM lp GROUP BY doc_id
         """,
         "resample_mix": """
             WITH tgt(lang, share) AS (VALUES ('de', 0.2), ('en', 0.4),

@@ -456,3 +456,85 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
                .otherwise("tail")
         out = out.withColumn("ppl_label", lab)
     return out
+
+
+def bigram_lm_scores_fp(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        head_size: int | None = None,
+                        alpha: float = 0.4) -> DataFrame:
+    """Bigram language-model surprisal with Stupid Backoff (Brants et
+    al. 2007) — one model order above :func:`unigram_lm_scores`, the
+    next rung toward CCNet's KenLM filter, in the same fixed-point
+    exact-reproducibility regime as :func:`surprisal_scores_fp`.
+
+    Per transition (w1 -> w2): ``ln(cb/cu1)`` when the bigram count is
+    available, else the backoff ``ln((alpha * cu2) / total)`` (with the
+    sub-singleton ``0.5`` floor for out-of-head w2).  Each transition's
+    log-prob quantizes once to integer micro-nats; documents sum the
+    integers, so per-doc scores are order-independent and bit-identical
+    across engines and partitionings.  Docs with fewer than two tokens
+    emit no row (no transitions to score) — same convention as the
+    token explode dropping empty docs.
+
+    Shape at scale: the bigram pair table is built ROW-LOCALLY
+    (zip-with-shifted, cut from the optimizer with the lazy
+    localCheckpoint rule of dedup.shingle_rows) and exploded; bigram
+    and unigram vocabularies aggregate map-side-combined; scoring is
+    three BROADCAST joins onto the exploded stream (bigram head,
+    unigram-as-w1, unigram-as-w2) — the corpus text never shuffles, and
+    with ``head_size`` set (the 10^12-doc path) only the Zipf heads are
+    broadcast, OOV falling through to backoff/floor.
+    ``head_size=None`` broadcasts full vocabularies: every bigram is
+    then in-vocabulary by construction, so backoff never fires — the
+    head configuration is the one the oracle exercises for the backoff
+    branch."""
+    from .dedup import _spread
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    d1 = _spread(df).select(F.col(id_col), toks.alias("_t"))
+    t = F.col("_t")
+    n = F.size(t)
+    pairs = F.when(n >= 2, F.filter(
+        F.zip_with(t, F.slice(t, 2, n - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+        lambda p: p["w2"].isNotNull())
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    d2 = d1.select(F.col(id_col), pairs.alias("_bg")) \
+           .localCheckpoint(eager=False)
+    bg = (d2.select(F.col(id_col), F.explode("_bg").alias("_p"))
+            .select(F.col(id_col), F.col("_p.w1").alias("w1"),
+                    F.col("_p.w2").alias("w2")))
+
+    tokrows = d1.select(F.col(id_col), F.explode("_t").alias("term"))
+    uni = tokrows.groupBy("term").agg(F.count(F.lit(1)).alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_total"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+
+    if head_size is not None:
+        big = (big.orderBy(F.desc("_cb"), F.asc("w1"), F.asc("w2"))
+                  .limit(head_size))
+        uni = (uni.orderBy(F.desc("_cu"), F.asc("term"))
+                  .limit(head_size))
+    j = (bg.join(F.broadcast(big), ["w1", "w2"], "left")
+           .join(F.broadcast(uni.select(F.col("term").alias("w1"),
+                                        F.col("_cu").alias("_cu1"))),
+                 "w1", "left")
+           .join(F.broadcast(uni.select(F.col("term").alias("w2"),
+                                        F.col("_cu").alias("_cu2"))),
+                 "w2", "left")
+           .crossJoin(F.broadcast(total)))
+    tot = F.col("_total").cast("double")
+    lp = F.when(F.col("_cb").isNotNull() & F.col("_cu1").isNotNull(),
+                F.log(F.col("_cb").cast("double")
+                      / F.col("_cu1").cast("double"))) \
+          .otherwise(F.log(
+              (F.lit(alpha) * F.coalesce(F.col("_cu2").cast("double"),
+                                         F.lit(0.5))) / tot))
+    fp = F.round(lp * F.lit(1000000.0)).cast("long")
+    per = (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_trans"),
+                 F.sum(fp).alias("sum_lp_fp")))
+    mean_lp = (F.col("sum_lp_fp").cast("double")
+               / F.col("n_trans").cast("double") / F.lit(1000000.0))
+    return per.withColumn("mean_lp", mean_lp)

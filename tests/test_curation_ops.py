@@ -257,3 +257,49 @@ def test_repetition_trimmed_lines_detected_as_dups(spark):
     for impl in ("arrow", "catalyst"):
         out = gopher_repetition(df, impl=impl).collect()[0]
         assert out["dup_line_frac"] == pytest.approx(1 / 3), impl
+
+
+# ---------------------------------------------------------- bigram LM
+
+def test_bigram_lm_hand_computed_branches(spark):
+    import math
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    # corpus: unigrams a:4 b:3 c:1 solo:1 (total 9); bigrams (a,b):3 (a,c):1
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a b"),
+                       (4, "a c"), (5, "solo")])
+    out = {r["doc_id"]: r.asDict()
+           for r in bigram_lm_scores_fp(df).collect()}
+    assert out[1]["sum_lp_fp"] == round(math.log(3 / 4) * 1e6)
+    assert out[4]["sum_lp_fp"] == round(math.log(1 / 4) * 1e6)
+    assert 5 not in out  # <2 tokens: no transitions, no row
+    # head_size=1: only bigram (a,b) and unigram 'a' survive the cut;
+    # doc4's (a,c) takes the backoff with the out-of-head 0.5 floor
+    outh = {r["doc_id"]: r.asDict()
+            for r in bigram_lm_scores_fp(df, head_size=1).collect()}
+    assert outh[1]["sum_lp_fp"] == round(math.log(3 / 4) * 1e6)
+    assert outh[4]["sum_lp_fp"] == round(math.log((0.4 * 0.5) / 9) * 1e6)
+
+
+def test_bigram_lm_head_covering_equals_exact(spark):
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+             .select("doc_id", "text").limit(100)
+    exact = {r["doc_id"]: (r["n_trans"], r["sum_lp_fp"])
+             for r in bigram_lm_scores_fp(d).collect()}
+    # the fixture vocabulary is tiny: a generous head covers everything,
+    # so the head path must reproduce the exact path bit-for-bit
+    head = {r["doc_id"]: (r["n_trans"], r["sum_lp_fp"])
+            for r in bigram_lm_scores_fp(d, head_size=100000).collect()}
+    assert exact == head
+
+
+def test_bigram_lm_partition_invariant(spark):
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+             .select("doc_id", "text")
+    a = {r["doc_id"]: r["sum_lp_fp"]
+         for r in bigram_lm_scores_fp(d.coalesce(1), head_size=20).collect()}
+    b = {r["doc_id"]: r["sum_lp_fp"]
+         for r in bigram_lm_scores_fp(d.repartition(17), head_size=20)
+         .collect()}
+    assert a == b
