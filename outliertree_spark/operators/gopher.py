@@ -110,29 +110,50 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     against literal thresholds, so they are engine-portable with no
     rounding epsilon."""
     feats = gopher_features(df, id_col, text_col)
-    r_words = (F.col("n_words") >= min_words) & \
-              (F.col("n_words") <= max_words)
-    r_wlen = (F.col("mean_word_len") >= min_mean_word_len) & \
-             (F.col("mean_word_len") <= max_mean_word_len)
-    r_symbol = F.col("symbol_word_ratio") <= max_symbol_word_ratio
-    r_bullet = F.col("bullet_line_frac") <= max_bullet_line_frac
-    r_ellipsis = F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
-    r_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
-    r_stop = F.col("n_stop_hits") >= min_stop_hits
-    keep = (r_words & r_wlen & r_symbol & r_bullet & r_ellipsis
-            & r_alpha & r_stop)
+    rules, keep = gopher_rule_exprs(
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_word_ratio, max_bullet_line_frac,
+        max_ellipsis_line_frac, min_alpha_word_frac, min_stop_hits)
     return feats.select(
         F.col(id_col), "n_words", "mean_word_len", "symbol_word_ratio",
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
         "n_stop_hits",
-        r_words.alias("rule_word_count"),
-        r_wlen.alias("rule_mean_word_len"),
-        r_symbol.alias("rule_symbol_ratio"),
-        r_bullet.alias("rule_bullet_lines"),
-        r_ellipsis.alias("rule_ellipsis_lines"),
-        r_alpha.alias("rule_alpha_words"),
-        r_stop.alias("rule_stopwords"),
+        *[expr.alias(nm) for nm, expr in rules.items()],
         keep.alias("gopher_keep"))
+
+
+def gopher_rule_exprs(min_words: int = 50, max_words: int = 100_000,
+                      min_mean_word_len: float = 3.0,
+                      max_mean_word_len: float = 10.0,
+                      max_symbol_word_ratio: float = 0.1,
+                      max_bullet_line_frac: float = 0.9,
+                      max_ellipsis_line_frac: float = 0.3,
+                      min_alpha_word_frac: float = 0.8,
+                      min_stop_hits: int = 2):
+    """The rule boolean expressions over a :func:`gopher_features`
+    frame, as ``({rule_name: Column}, keep_conjunction)`` — reusable by
+    callers that need the rules WITHOUT dropping their own columns
+    (e.g. the ValidationSuite quality gate, which stays row-local by
+    appending to the corpus frame instead of joining back)."""
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": F.col("symbol_word_ratio")
+        <= max_symbol_word_ratio,
+        "rule_bullet_lines": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "rule_alpha_words": F.col("alpha_word_frac")
+        >= min_alpha_word_frac,
+        "rule_stopwords": F.col("n_stop_hits") >= min_stop_hits,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return rules, keep
 
 
 # --- Gopher repetition rules (Table A1, lower half) -------------------

@@ -8,6 +8,7 @@ verdicts — the full north-rule validation in a single run.
                               parent_key="id", name="ref_ids")
              .add_timestamp_range("warc_ts", "2024-01-01", "2024-02-01")
              .add_snapshot_delta(previous_df, "url")
+             .add_quality_rules(include_repetition=True)
              .add_drift_baseline(baseline_df, "lang", max_psi=0.2))
     suite.fit(df, id_cols=["doc_id"])
     violations, verdicts = suite.run(df, partition_col="warc_bucket")
@@ -106,6 +107,52 @@ class ValidationSuite:
                                   F.length(ex).cast("string")))
 
         self._checks.append(_Check(nm, "extraction_parity", fn))
+        return self
+
+    def add_quality_rules(self, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          include_repetition: bool = False,
+                          name: str | None = None):
+        """Declared-constraint document quality gate: rows failing the
+        Gopher rule set (operators/gopher.py — Rae et al. 2021 Table
+        A1) become violation rows whose ``check_value`` lists the
+        failed rules (``"rule_stopwords,rule_word_count"``), the same
+        flag-plus-reason model as the engine's derived tree violations.
+        ``include_repetition=True`` adds the Table A1 repetition rules
+        (Arrow Counter sweep) as a second violation source tagged
+        ``repetition:``.
+
+        Scale shape: the quality set APPENDS rule columns to the corpus
+        frame (gopher_features) and filters — entirely row-local, no
+        join, no exchange.  The repetition path (mapInPandas projects
+        to id+features) joins its failure list back on ``id_col`` —
+        the same doc_id join-back shape as paragraph dedup."""
+        from .operators.gopher import (gopher_features, gopher_repetition,
+                                       gopher_rule_exprs)
+        nm = name or "quality_rules"
+
+        def fn(df: DataFrame) -> DataFrame:
+            rules, keep = gopher_rule_exprs()
+            failed = F.concat_ws(",", *[
+                F.when(~expr, F.lit(rn)) for rn, expr in rules.items()])
+            bad = (gopher_features(df, id_col, text_col)
+                   .filter(~keep)
+                   .select(*df.columns,
+                           F.concat(F.lit("gopher:"), failed)
+                            .alias("_check_value")))
+            if include_repetition:
+                r = gopher_repetition(df, id_col, text_col)
+                rrules = [c for c in r.columns if c.startswith("rule_")]
+                rfailed = F.concat_ws(",", *[
+                    F.when(~F.col(c), F.lit(c)) for c in rrules])
+                rbad = (r.filter(~F.col("repetition_keep"))
+                         .select(F.col(id_col),
+                                 F.concat(F.lit("repetition:"), rfailed)
+                                  .alias("_check_value")))
+                bad = bad.unionByName(df.join(rbad, id_col, "inner"))
+            return bad
+
+        self._checks.append(_Check(nm, "quality", fn))
         return self
 
     def add_snapshot_delta(self, previous: DataFrame,

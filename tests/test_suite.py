@@ -115,3 +115,49 @@ def test_suite_snapshot_delta_evolved_schema(spark, data):
     snap = vp[vp["check"] == "snapshot_doc_id"]
     got = dict(zip(snap["doc_id"], snap["check_value"]))
     assert got[21] == "changed" and got[4000] == "removed"
+
+
+PROSE = ("the quick brown fox jumps over the lazy dog and then it "
+         "decided that running was fine so it kept going across the "
+         "wide green field with many other animals joining in while "
+         "birds watched from tall trees and the sun moved slowly over "
+         "the distant hills until evening came and everything grew "
+         "quiet again")
+
+
+def test_suite_quality_rules(spark):
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(30):
+        text = PROSE + f" ending{i} marker{i}"
+        if i == 5:
+            text = "too short"                      # fails word count
+        if i == 7:
+            # stopword-rich line repeated: passes the quality set but
+            # fails the repetition rules on duplicate lines
+            text = ("the cat and the dog have to be with that now\n"
+                    * 30) + PROSE
+        rows.append((i, text, i % 2, float(rng.normal(100, 10))))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "bucket", "value"]))
+    suite = (ValidationSuite(ValidationConfig())
+             .add_quality_rules(include_repetition=True))
+    suite.fit(df, id_cols=["doc_id"], cols_ignore=["text", "bucket"])
+    viols, verdicts = suite.run(df, partition_col="bucket",
+                                id_cols=["doc_id"])
+    vp = viols.toPandas()
+    q = vp[vp["check"] == "quality_rules"]
+    flagged = q.groupby("doc_id")["check_value"].apply(
+        lambda s: ";".join(sorted(s))).to_dict()
+    # doc 5 fails BOTH rule sets (2 words: word-count on the quality
+    # side, a 100% top-2-gram on the repetition side)
+    assert 5 in flagged and "gopher:" in flagged[5]
+    assert "rule_word_count" in flagged[5]
+    assert "repetition:rule_top_2gram" in flagged[5]
+    assert 7 in flagged and flagged[7].startswith("repetition:")
+    assert "rule_dup_lines" in flagged[7]
+    assert "gopher:" not in flagged[7]  # quality set passes doc 7
+    clean = set(range(30)) - {5, 7}
+    assert not (set(q["doc_id"]) & clean), sorted(set(q["doc_id"]) & clean)
+    assert q.loc[q["doc_id"] == 5, "suspicious_column"].iloc[0] == "quality"
