@@ -361,6 +361,19 @@ def main() -> None:
         plan_of(perplexity_buckets(docs.select("doc_id", "text"),
                                    method="cutoff", head_size=20000))))
 
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    sections.append((
+        "Bigram-LM surprisal (Stupid Backoff, broadcast-head)",
+        "Pair table built row-locally (zip-with-shifted behind the "
+        "shingle_rows checkpoint guard), bigram+unigram vocabularies "
+        "aggregate map-side-combined, and scoring is THREE "
+        "BroadcastHashJoins onto the exploded stream (bigram head, "
+        "unigram-as-w1, unigram-as-w2) plus a broadcast scalar total — "
+        "zero SortMergeJoin, corpus text never shuffles; the per-doc "
+        "fixed-point sum map-side-combines to one row per document.",
+        plan_of(bigram_lm_scores_fp(docs.select("doc_id", "text"),
+                                    head_size=1000))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
