@@ -629,6 +629,38 @@ def q_perplexity_buckets(spark, sf_dir):
                       "ppl_bucket", "ppl_label")
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The round-5 curation operators composed end-to-end in ONE
+    declarative plan: Gopher rule gate (min_stop_hits=0 — the synthetic
+    fixture is non-English word salad, so the stopword rule is the one
+    knob relaxed; word-count and the five content rules stay live) ->
+    CCNet perplexity buckets over the SURVIVING population (vocab and
+    cuts from the filtered corpus, the order a real curation run uses)
+    -> drop the 'tail' bucket -> exact dedup keeping the min doc_id per
+    distinct text.  Output carries the content hash so the oracle
+    verifies the exact surviving set.  Cost shape: the gate is
+    row-local codegen fused into the scan, surprisal adds the
+    vocabulary aggregate + broadcast scoring join, bucketing is the
+    oracle-exact NTILE here (the `cutoff` sketch path at 10^12 docs),
+    and dedup is one hash agg keyed on the output content hash."""
+    from outliertree_spark.operators.gopher import gopher_rules
+    from outliertree_spark.operators.text import perplexity_buckets
+    d = _docs(spark, sf_dir)
+    kept_ids = (gopher_rules(d, min_stop_hits=0)
+                .filter("gopher_keep").select("doc_id"))
+    kept = d.join(kept_ids, "doc_id")
+    pb = perplexity_buckets(kept, method="ntile")
+    good = (kept.join(pb.filter(F.col("ppl_label") != "tail")
+                        .select("doc_id", "ppl_label"), "doc_id"))
+    reps = (good.groupBy(F.md5("text").alias("content_md5"))
+                .agg(F.min_by(F.struct("doc_id", "lang", "ppl_label"),
+                              "doc_id").alias("_r")))
+    return (reps.select(F.col("_r.doc_id").alias("doc_id"),
+                        F.col("_r.lang").alias("lang"),
+                        F.col("_r.ppl_label").alias("ppl_label"),
+                        "content_md5"))
+
+
 def q_bigram_lm(spark, sf_dir):
     """Stupid-Backoff bigram surprisal (Brants et al. 2007) in the
     broadcast-head scale configuration (head_size=20 for both
@@ -1178,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
         "bigram_lm": q_bigram_lm,
+        "curation_pipeline": q_curation_pipeline,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
@@ -1189,7 +1222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
-        "ts_range_events": q_ts_range_events,
         "bounds_events": q_bounds_events,
         "asof_last_click": q_asof_last_click,
         "extract_text": q_extract_text,
@@ -1225,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
         # (outside the 50-entry window; guard test enforces prior green)
         "cosine_near_dups_exact": q_cosine_near_dups_exact,
+        "ts_range_events": q_ts_range_events,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
@@ -2254,6 +2287,85 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_9gram_char_frac <= 0.11
                     AND dup_10gram_char_frac <= 0.10) AS repetition_keep
             FROM f
+        """,
+        "curation_pipeline": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   w -> length(w) > 0) AS words,
+                       regexp_split_to_array(text, '\n') AS lines,
+                       length(text) - length(regexp_replace(text, '#', '',
+                                                            'g')) AS n_hash,
+                       (length(text) - length(regexp_replace(text,
+                            '\.\.\.', '', 'g'))) / 3 AS n_dots,
+                       length(text) - length(regexp_replace(text, '…', '',
+                                                            'g')) AS n_uell
+                FROM documents),
+            g AS (
+                SELECT doc_id, len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(coalesce(list_sum(list_transform(words,
+                                 w -> length(w))), 0) AS DOUBLE) / len(words)
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(n_hash + n_dots + n_uell AS DOUBLE)
+                                / len(words)
+                            ELSE 0.0 END AS symbol_word_ratio,
+                       CASE WHEN len(lines) > 0 THEN
+                            CAST(len(list_filter(lines, l ->
+                                 regexp_matches(l, '^\s*[-*•]')))
+                                 AS DOUBLE) / len(lines)
+                            ELSE 0.0 END AS bullet_line_frac,
+                       CASE WHEN len(lines) > 0 THEN
+                            CAST(len(list_filter(lines, l ->
+                                 regexp_matches(l, '(\.\.\.|…)\s*$')))
+                                 AS DOUBLE) / len(lines)
+                            ELSE 0.0 END AS ellipsis_line_frac,
+                       CASE WHEN len(words) > 0 THEN
+                            CAST(len(list_filter(words, w ->
+                                 regexp_matches(w, '[A-Za-z]')))
+                                 AS DOUBLE) / len(words)
+                            ELSE 0.0 END AS alpha_word_frac
+                FROM f),
+            keptids AS (
+                SELECT doc_id FROM g
+                WHERE (n_words BETWEEN 50 AND 100000)
+                  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                  AND symbol_word_ratio <= 0.1
+                  AND bullet_line_frac <= 0.9
+                  AND ellipsis_line_frac <= 0.3
+                  AND alpha_word_frac >= 0.8),
+            kept AS (SELECT d.* FROM documents d
+                     JOIN keptids USING (doc_id)),
+            tr AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS term
+              FROM kept),
+            v AS (SELECT term, count(*) AS tf FROM tr GROUP BY term),
+            tot AS (SELECT sum(tf) AS total FROM v),
+            lp AS (SELECT term, CAST(round(ln(CAST(tf AS DOUBLE)
+                       / CAST(total AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS lp_fp
+                   FROM v, tot),
+            per AS (SELECT doc_id, count(*) AS n_tokens,
+                           sum(lp_fp) AS sum_lp
+                    FROM tr JOIN lp USING (term) GROUP BY doc_id),
+            pb AS (SELECT doc_id,
+                       ntile(3) OVER (ORDER BY CAST(sum_lp AS DOUBLE)
+                            / n_tokens / 1000000.0 DESC, doc_id ASC)
+                           AS bucket
+                   FROM per),
+            good AS (SELECT k.doc_id, k.lang, k.text,
+                            CASE pb.bucket WHEN 1 THEN 'head'
+                                 WHEN 2 THEN 'middle' END AS ppl_label
+                     FROM kept k JOIN pb USING (doc_id)
+                     WHERE pb.bucket <> 3)
+            SELECT min(doc_id) AS doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   arg_min(ppl_label, doc_id) AS ppl_label,
+                   md5(text) AS content_md5
+            FROM good GROUP BY md5(text)
         """,
         "bigram_lm": r"""
             WITH w AS (

@@ -349,7 +349,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "snapshot_diff", "winnowing_overlap", "winnowing",
              "dataset_card", "unigram_lm_head", "span_dedup",
              "dedup_clusters_collapsed", "gopher_rules", "resample_mix",
-             "perplexity_buckets", "gopher_repetition", "bigram_lm"]
+             "perplexity_buckets", "gopher_repetition", "bigram_lm",
+             "curation_pipeline"]
     qs = entrymod.queries()
     out = {}
     for name in names:

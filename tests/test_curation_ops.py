@@ -303,3 +303,20 @@ def test_bigram_lm_partition_invariant(spark):
          for r in bigram_lm_scores_fp(d.repartition(17), head_size=20)
          .collect()}
     assert a == b
+
+
+def test_curation_pipeline_funnel(spark):
+    """Composed gate -> buckets -> dedup: survivors are a subset of the
+    gate's keeps, never carry the 'tail' label, and are distinct by
+    content with the minimal doc_id as keeper."""
+    import __spark_entry__ as entry
+    out = entry.queries()["curation_pipeline"](
+        spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    assert set(out["ppl_label"]) <= {"head", "middle"}
+    assert out["content_md5"].is_unique
+    from outliertree_spark.operators.gopher import gopher_rules
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = {r["doc_id"] for r in gopher_rules(d, min_stop_hits=0)
+            .filter("gopher_keep").select("doc_id").collect()}
+    assert set(out["doc_id"]) <= kept
