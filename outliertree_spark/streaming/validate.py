@@ -163,3 +163,26 @@ def stream_clean_pipeline(stream_df: DataFrame, ts_col: str,
                          "mean_token_len", "punct_ratio",
                          "stopword_ratio"))
     return deduped.drop("_content_hash")
+
+
+def stream_gopher_gate(stream_df: DataFrame, text_col: str = "text",
+                       keep_only: bool = True, **thresholds) -> DataFrame:
+    """Streaming Gopher rule gate (operators/gopher.py): the quality
+    features and rule booleans are pure codegen column expressions —
+    stateless, so the batch plan runs on a stream unchanged with no
+    state store and no Python workers.  ``keep_only=True`` passes only
+    documents satisfying every rule (the filter configuration a crawl
+    ingest uses); ``keep_only=False`` annotates each document with the
+    rule booleans and ``gopher_keep`` instead (the audit
+    configuration).  ``thresholds`` forwards to
+    :func:`operators.gopher.gopher_rule_exprs` (e.g.
+    ``min_stop_hits=0`` for non-English corpora)."""
+    from ..operators.gopher import gopher_features, gopher_rule_exprs
+    feats = gopher_features(stream_df, text_col=text_col)
+    rules, keep = gopher_rule_exprs(**thresholds)
+    if keep_only:
+        return feats.filter(keep).select(*stream_df.columns)
+    out = feats
+    for rn, expr in rules.items():
+        out = out.withColumn(rn, expr)
+    return out.withColumn("gopher_keep", keep)

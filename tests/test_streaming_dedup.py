@@ -88,3 +88,34 @@ def test_stream_clean_pipeline_e2e(spark, tmp_path):
     assert by_id.loc[surv, "clean_text"] == "real content about apples"
     assert "<EMAIL>" in by_id.loc[2, "_scrubbed"]
     assert boiler_line not in by_id.loc[2, "clean_text"]
+
+
+def test_stream_gopher_gate_stateless(spark, tmp_path):
+    from outliertree_spark.streaming.validate import stream_gopher_gate
+    prose = ("the quick brown fox jumps over the lazy dog and then it "
+             "decided that running was fine so it kept going across the "
+             "wide field with many other animals joining in while birds "
+             "watched from tall trees and the sun moved slowly over the "
+             "distant hills until evening came and everything grew quiet")
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [prose, "too short", "#### " * 60 + prose],
+    })
+    src = str(tmp_path / "gopher_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    kept = stream_gopher_gate(stream)
+    run_stream_to_memory(kept, "gopher_stream")
+    got = spark.sql("SELECT * FROM gopher_stream").toPandas()
+    assert set(got["doc_id"]) == {1}          # short + symbol-spam dropped
+    assert set(got.columns) == {"doc_id", "text"}
+    # audit configuration: all rows pass through, annotated
+    ann = stream_gopher_gate(stream, keep_only=False)
+    run_stream_to_memory(ann, "gopher_audit_stream")
+    aud = spark.sql("SELECT doc_id, gopher_keep, rule_word_count, "
+                    "rule_symbol_ratio FROM gopher_audit_stream").toPandas()
+    row = aud.set_index("doc_id")
+    assert bool(row.loc[1, "gopher_keep"])
+    assert not bool(row.loc[2, "rule_word_count"])
+    assert not bool(row.loc[3, "rule_symbol_ratio"])
