@@ -643,12 +643,15 @@ def q_curation_pipeline(spark, sf_dir):
     vocabulary aggregate + broadcast scoring join, bucketing is the
     oracle-exact NTILE here (the `cutoff` sketch path at 10^12 docs),
     and dedup is one hash agg keyed on the output content hash."""
-    from outliertree_spark.operators.gopher import gopher_rules
+    from outliertree_spark.operators.gopher import (gopher_features,
+                                                    gopher_rule_exprs)
     from outliertree_spark.operators.text import perplexity_buckets
     d = _docs(spark, sf_dir)
-    kept_ids = (gopher_rules(d, min_stop_hits=0)
-                .filter("gopher_keep").select("doc_id"))
-    kept = d.join(kept_ids, "doc_id")
+    # append-and-filter (no id join-back): the gate really is fused
+    # into the scan — same shape as suite.add_quality_rules
+    _, keep = gopher_rule_exprs(min_stop_hits=0, prefix="_gq_")
+    kept = (gopher_features(d, prefix="_gq_")
+            .filter(keep).select(*d.columns))
     pb = perplexity_buckets(kept, method="ntile")
     good = (kept.join(pb.filter(F.col("ppl_label") != "tail")
                         .select("doc_id", "ppl_label"), "doc_id"))
@@ -2410,11 +2413,12 @@ def oracle_sql() -> dict[str, str]:
                                              ('es', 0.2), ('fr', 0.2)),
             counts AS (SELECT lang, count(*) AS cnt FROM documents
                        GROUP BY lang),
-            j AS (SELECT c.lang, c.cnt, t.share
-                  FROM counts c JOIN tgt t USING (lang)),
+            j AS (SELECT t.lang, coalesce(c.cnt, 0) AS cnt, t.share
+                  FROM tgt t LEFT JOIN counts c USING (lang)),
             s AS (SELECT min(CAST(cnt AS DOUBLE) / share) AS scale FROM j),
-            rates AS (SELECT lang, (share * scale) / CAST(cnt AS DOUBLE)
-                          AS mix_rate
+            rates AS (SELECT lang,
+                          CASE WHEN cnt > 0 THEN (share * scale)
+                               / CAST(cnt AS DOUBLE) ELSE 0.0 END AS mix_rate
                       FROM j, s)
             SELECT d.doc_id, d.lang
             FROM documents d JOIN rates r USING (lang)

@@ -23,9 +23,13 @@ from pyspark.sql import functions as F
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_features(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Per-document Gopher filter features, all row-local.
+def gopher_features(df: DataFrame, text_col: str = "text",
+                    prefix: str = "") -> DataFrame:
+    """Per-document Gopher filter features, all row-local.  NULL text
+    counts as the empty document.  ``prefix`` namespaces the appended
+    columns (internal callers use ``"_gq_"`` so a corpus frame that
+    already carries a column named e.g. ``n_words`` is never
+    overwritten).
 
     Columns added (names mirror the paper's rule inputs):
 
@@ -41,7 +45,12 @@ def gopher_features(df: DataFrame, id_col: str = "doc_id",
     bit-identical across engines — the DuckDB oracle compares them
     unrounded and the rule booleans can never flip on float noise.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # tokenizer convention (shared with the text.py operators and their
+    # DuckDB twins): Java/ASCII \s = [ \t\n\x0B\f\r].  RE2 (DuckDB) \s
+    # EXCLUDES vertical tab \x0B — a doc containing \x0B would tokenize
+    # differently under the oracle.  The fixtures contain none; noted
+    # here because the rule booleans make the divergence behavioral.
     words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: F.length(w) > 0)
     n_words = F.size(words)
     word_chars = F.aggregate(words, F.lit(0).cast("long"),
@@ -83,13 +92,13 @@ def gopher_features(df: DataFrame, id_col: str = "doc_id",
         stop_hits = stop_hits + F.array_contains(lower_words,
                                                  w).cast("int")
 
-    return (df.withColumn("n_words", n_words.cast("long"))
-              .withColumn("mean_word_len", mean_word_len)
-              .withColumn("symbol_word_ratio", symbol_ratio)
-              .withColumn("bullet_line_frac", bullet_frac)
-              .withColumn("ellipsis_line_frac", ellipsis_frac)
-              .withColumn("alpha_word_frac", alpha_frac)
-              .withColumn("n_stop_hits", stop_hits))
+    return (df.withColumn(prefix + "n_words", n_words.cast("long"))
+              .withColumn(prefix + "mean_word_len", mean_word_len)
+              .withColumn(prefix + "symbol_word_ratio", symbol_ratio)
+              .withColumn(prefix + "bullet_line_frac", bullet_frac)
+              .withColumn(prefix + "ellipsis_line_frac", ellipsis_frac)
+              .withColumn(prefix + "alpha_word_frac", alpha_frac)
+              .withColumn(prefix + "n_stop_hits", stop_hits))
 
 
 def gopher_rules(df: DataFrame, id_col: str = "doc_id",
@@ -109,7 +118,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     gopher_keep).  Rule booleans compare exact-integer-derived doubles
     against literal thresholds, so they are engine-portable with no
     rounding epsilon."""
-    feats = gopher_features(df, id_col, text_col)
+    feats = gopher_features(df, text_col)
     rules, keep = gopher_rule_exprs(
         min_words, max_words, min_mean_word_len, max_mean_word_len,
         max_symbol_word_ratio, max_bullet_line_frac,
@@ -129,26 +138,29 @@ def gopher_rule_exprs(min_words: int = 50, max_words: int = 100_000,
                       max_bullet_line_frac: float = 0.9,
                       max_ellipsis_line_frac: float = 0.3,
                       min_alpha_word_frac: float = 0.8,
-                      min_stop_hits: int = 2):
+                      min_stop_hits: int = 2, prefix: str = ""):
     """The rule boolean expressions over a :func:`gopher_features`
     frame, as ``({rule_name: Column}, keep_conjunction)`` — reusable by
     callers that need the rules WITHOUT dropping their own columns
     (e.g. the ValidationSuite quality gate, which stays row-local by
     appending to the corpus frame instead of joining back)."""
+    def col(name):
+        return F.col(prefix + name)
+
     rules = {
-        "rule_word_count": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "rule_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "rule_symbol_ratio": F.col("symbol_word_ratio")
+        "rule_word_count": (col("n_words") >= min_words)
+        & (col("n_words") <= max_words),
+        "rule_mean_word_len": (col("mean_word_len") >= min_mean_word_len)
+        & (col("mean_word_len") <= max_mean_word_len),
+        "rule_symbol_ratio": col("symbol_word_ratio")
         <= max_symbol_word_ratio,
-        "rule_bullet_lines": F.col("bullet_line_frac")
+        "rule_bullet_lines": col("bullet_line_frac")
         <= max_bullet_line_frac,
-        "rule_ellipsis_lines": F.col("ellipsis_line_frac")
+        "rule_ellipsis_lines": col("ellipsis_line_frac")
         <= max_ellipsis_line_frac,
-        "rule_alpha_words": F.col("alpha_word_frac")
+        "rule_alpha_words": col("alpha_word_frac")
         >= min_alpha_word_frac,
-        "rule_stopwords": F.col("n_stop_hits") >= min_stop_hits,
+        "rule_stopwords": col("n_stop_hits") >= min_stop_hits,
     }
     keep = None
     for expr in rules.values():

@@ -97,6 +97,13 @@ def mix_rates(df: DataFrame, group_col: str,
     and each group keeps ``rate_g = share_g * scale / cnt_g`` (in
     (0, 1] by construction — the binding group keeps everything).
     Groups absent from ``shares`` get no row (explicit curation).
+    A ``shares`` group ABSENT from the corpus participates with
+    ``cnt = 0``: the scale is then 0 and every rate is 0, so the
+    resample is EMPTY — the only subset whose proportions match a
+    target that demands an unavailable group.  (A silent inner join
+    here would instead drop the missing group and return a skewed
+    mix; callers who want an error can check ``cnt > 0`` on the
+    returned rates.)
 
     Fully declarative — no driver action: one column-pruned counting
     aggregate (map-side combined, exchange is #groups rows), a
@@ -110,14 +117,19 @@ def mix_rates(df: DataFrame, group_col: str,
     spark = df.sparkSession
     tgt = spark.createDataFrame(
         sorted(shares.items()), f"{group_col} string, share double")
-    counts = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
-                .join(F.broadcast(tgt), group_col))
+    observed = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # tgt-side outer: a requested group missing from the corpus must
+    # surface as cnt=0 (scale 0, empty resample), not silently vanish
+    counts = (tgt.join(F.broadcast(observed), group_col, "left")
+                 .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long"))))
     scale = counts.agg(F.min(F.col("cnt").cast("double")
                              / F.col("share")).alias("_scale"))
     return (counts.crossJoin(F.broadcast(scale))
                   .select(group_col, "cnt", "share",
-                          ((F.col("share") * F.col("_scale"))
-                           / F.col("cnt").cast("double")).alias("mix_rate")))
+                          F.when(F.col("cnt") > 0,
+                                 (F.col("share") * F.col("_scale"))
+                                 / F.col("cnt").cast("double"))
+                           .otherwise(F.lit(0.0)).alias("mix_rate")))
 
 
 def resample_to_mix(df: DataFrame, group_col: str,

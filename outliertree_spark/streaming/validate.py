@@ -178,11 +178,13 @@ def stream_gopher_gate(stream_df: DataFrame, text_col: str = "text",
     :func:`operators.gopher.gopher_rule_exprs` (e.g.
     ``min_stop_hits=0`` for non-English corpora)."""
     from ..operators.gopher import gopher_features, gopher_rule_exprs
-    feats = gopher_features(stream_df, text_col=text_col)
-    rules, keep = gopher_rule_exprs(**thresholds)
+    feats = gopher_features(stream_df, text_col=text_col, prefix="_gq_")
+    rules, keep = gopher_rule_exprs(prefix="_gq_", **thresholds)
     if keep_only:
         return feats.filter(keep).select(*stream_df.columns)
-    out = feats
-    for rn, expr in rules.items():
-        out = out.withColumn(rn, expr)
-    return out.withColumn("gopher_keep", keep)
+    # audit mode appends ONLY the documented rule booleans + verdict;
+    # the internal _gq_ feature columns never leave (and never collide
+    # with the stream's own columns)
+    return feats.select(*stream_df.columns,
+                        *[expr.alias(rn) for rn, expr in rules.items()],
+                        keep.alias("gopher_keep"))

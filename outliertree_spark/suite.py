@@ -132,10 +132,13 @@ class ValidationSuite:
         nm = name or "quality_rules"
 
         def fn(df: DataFrame) -> DataFrame:
-            rules, keep = gopher_rule_exprs()
+            # "_gq_" prefix: a corpus frame carrying its own n_words /
+            # mean_word_len / ... column must not be overwritten by the
+            # appended feature columns (review finding, round 5)
+            rules, keep = gopher_rule_exprs(prefix="_gq_")
             failed = F.concat_ws(",", *[
                 F.when(~expr, F.lit(rn)) for rn, expr in rules.items()])
-            bad = (gopher_features(df, id_col, text_col)
+            bad = (gopher_features(df, text_col, prefix="_gq_")
                    .filter(~keep)
                    .select(*df.columns,
                            F.concat(F.lit("gopher:"), failed)

@@ -320,3 +320,43 @@ def test_curation_pipeline_funnel(spark):
     kept = {r["doc_id"] for r in gopher_rules(d, min_stop_hits=0)
             .filter("gopher_keep").select("doc_id").collect()}
     assert set(out["doc_id"]) <= kept
+
+
+def test_mix_rates_missing_group_empties_resample(spark):
+    """A requested share group absent from the corpus must surface as
+    cnt=0 / rate=0 everywhere (empty resample — the only subset whose
+    proportions can match), not be silently dropped from the mix
+    (review finding, round 5)."""
+    df = _docs(spark, [(i, "x") for i in range(100)]).withColumn(
+        "lang", F.lit("en"))
+    rates = {r["lang"]: (r["cnt"], r["mix_rate"])
+             for r in mix_rates(df, "lang",
+                                {"en": 0.5, "eo": 0.5}).collect()}
+    assert rates["eo"] == (0, 0.0)
+    assert rates["en"][1] == 0.0
+    kept = resample_to_mix(df, "lang", {"en": 0.5, "eo": 0.5}, "doc_id")
+    assert kept.count() == 0
+
+
+def test_gopher_null_text_counts_as_empty(spark):
+    from outliertree_spark.operators.gopher import gopher_rules
+    out = gopher_rules(_docs(spark, [(1, None)])).collect()[0]
+    assert out["n_words"] == 0
+    assert out["rule_word_count"] is False
+    assert out["gopher_keep"] is False
+
+
+def test_quality_gate_does_not_clobber_user_columns(spark):
+    """A corpus frame with its own n_words column must come through the
+    suite quality gate and streaming gate untouched (review finding)."""
+    from outliertree_spark.operators.gopher import (gopher_features,
+                                                    gopher_rule_exprs)
+    df = _docs(spark, [(1, "too short")]).withColumn(
+        "n_words", F.lit(999))
+    feats = gopher_features(df, prefix="_gq_")
+    assert "n_words" in df.columns
+    row = feats.select("n_words", "_gq_n_words").collect()[0]
+    assert row["n_words"] == 999 and row["_gq_n_words"] == 2
+    _, keep = gopher_rule_exprs(prefix="_gq_")
+    out = feats.filter(~keep).select(*df.columns).collect()[0]
+    assert out["n_words"] == 999
