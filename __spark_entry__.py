@@ -664,6 +664,28 @@ def q_curation_pipeline(spark, sf_dir):
                         "content_md5"))
 
 
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style URL blocklist over the north-shaped corpus: two
+    blocked hosts (subdomain-inclusive suffix match) plus one path
+    regex, audit mode (keep=False returns the blocked rows).
+    Detection explodes the URL's dot-boundary host suffixes against the
+    broadcast blocklist dimension on a URL-only projection — document
+    bytes never ride the detection path (webtext.url_blocklist_filter
+    docstring has the scale argument)."""
+    from outliertree_spark.operators.webtext import url_blocklist_filter
+    d = _docs(spark, sf_dir)
+    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
+                     " * 97) div 1030301")  # hot_domains' skewed index
+    url = F.concat(F.lit("https://host"), host_ix.cast("string"),
+                   F.lit(".example.com/doc/"),
+                   F.col("doc_id").cast("string"))
+    pages = d.select("doc_id", url.alias("url"))
+    out = url_blocklist_filter(
+        pages, hosts=["host3.example.com", "host11.example.com"],
+        patterns=[r"/doc/4[0-9]$"], keep=False)
+    return out.select("doc_id", "url")
+
+
 def q_bigram_lm(spark, sf_dir):
     """Stupid-Backoff bigram surprisal (Brants et al. 2007) in the
     broadcast-head scale configuration (head_size=20 for both
@@ -1214,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "bigram_lm": q_bigram_lm,
         "curation_pipeline": q_curation_pipeline,
+        "url_blocklist": q_url_blocklist,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
@@ -1225,7 +1248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
-        "bounds_events": q_bounds_events,
         "asof_last_click": q_asof_last_click,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
@@ -1261,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (outside the 50-entry window; guard test enforces prior green)
         "cosine_near_dups_exact": q_cosine_near_dups_exact,
         "ts_range_events": q_ts_range_events,
+        "bounds_events": q_bounds_events,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
@@ -2290,6 +2313,28 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_9gram_char_frac <= 0.11
                     AND dup_10gram_char_frac <= 0.10) AS repetition_keep
             FROM f
+        """,
+        "url_blocklist": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       'https://host' ||
+                       CAST(((doc_id % 101) * (doc_id % 101)
+                             * (doc_id % 101) * 97) // 1030301
+                            AS VARCHAR) ||
+                       '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url
+                FROM documents),
+            h AS (SELECT doc_id, url,
+                         lower(regexp_extract(url,
+                             '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1))
+                             AS host
+                  FROM pages)
+            SELECT doc_id, url FROM h
+            WHERE host = 'host3.example.com'
+               OR host LIKE '%.host3.example.com'
+               OR host = 'host11.example.com'
+               OR host LIKE '%.host11.example.com'
+               OR regexp_matches(url, '/doc/4[0-9]$')
         """,
         "curation_pipeline": r"""
             WITH f AS (

@@ -178,3 +178,56 @@ def extraction_summary(df: DataFrame, html_col: str = "html",
     return df.agg(F.count(F.lit(1)).alias("n_rows"),
                   F.sum(bad).alias("n_mismatch"),
                   (F.sum(bad) == 0).alias("byte_identical"))
+
+
+def url_blocklist_filter(df: DataFrame, hosts: list[str] | None = None,
+                         patterns: list[str] | None = None,
+                         url_col: str = "url",
+                         keep: bool = True) -> DataFrame:
+    """UT1/adult-list-style URL filtering, the standard crawl-curation
+    gate ahead of content filters (used by CCNet/RefinedWeb/FineWeb).
+
+    Two match modes, composable:
+
+    - ``hosts``: host membership including subdomains (``example.com``
+      blocks ``example.com`` and ``*.example.com``).  Detection runs on
+      a URL-ONLY projection: each URL's dot-boundary host suffixes
+      (≤ label count, row-local) explode and semi-join the BROADCAST
+      blocklist dimension (real blocklists are a few million rows — UT1
+      ~4M — and broadcast fine), producing a text-free blocked-URL set
+      that joins back on ``url_col``.  The join-back is the paragraph-
+      dedup shape: the only corpus-keyed exchange carries the blocked
+      subset, which AQE turns into a broadcast when (as in practice)
+      few URLs match; document bytes never ride the detection path.
+    - ``patterns``: Java regexes against the full URL — a row-local OR
+      chain in codegen (use for path keywords).
+
+    ``keep=True`` returns the surviving rows; ``keep=False`` the
+    blocked rows (audit)."""
+    cond = F.lit(False)
+    if hosts:
+        spark = df.sparkSession
+        dim = spark.createDataFrame(
+            [(h.lower(),) for h in sorted(set(hosts))],
+            "blocked_host string")
+        host = url_host(F.col(url_col))
+        labels = F.split(host, r"\.")
+        n = F.size(labels)
+        suffixes = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(labels, i, n), "."))
+        blocked = (df.select(F.col(url_col))
+                     .select(F.col(url_col), F.explode(suffixes)
+                             .alias("_sfx"))
+                     .join(F.broadcast(dim),
+                           F.col("_sfx") == F.col("blocked_host"),
+                           "left_semi")
+                     .select(url_col).distinct()
+                     .withColumn("_blocked", F.lit(True)))
+        df = df.join(blocked, url_col, "left")
+        cond = cond | F.col("_blocked").isNotNull()
+    if patterns:
+        for p in patterns:
+            cond = cond | F.col(url_col).rlike(p)
+    out = df.filter(~cond if keep else cond)
+    return out.drop("_blocked") if hosts else out

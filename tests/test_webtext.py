@@ -167,3 +167,27 @@ def test_extraction_stays_jvm_side(spark):
     plan = (pages.select(html_to_text(F.col("html")).alias("t"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_blocklist_suffix_and_patterns(spark):
+    from outliertree_spark.operators.webtext import url_blocklist_filter
+    rows = [
+        (1, "https://bad.example.com/a"),          # exact host
+        (2, "https://sub.bad.example.com/a"),      # subdomain suffix
+        (3, "https://notbad.example.com/a"),       # NOT a dot-boundary match
+        (4, "https://ok.com/casino/x"),            # pattern hit
+        (5, "https://ok.com/fine"),                # clean
+        (6, "HTTPS://BAD.EXAMPLE.COM:8080/b"),     # case + port
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = url_blocklist_filter(df, hosts=["bad.example.com"],
+                                patterns=[r"/casino/"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5]
+    blocked = url_blocklist_filter(df, hosts=["bad.example.com"],
+                                   patterns=[r"/casino/"], keep=False)
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [1, 2, 4, 6]
+    # hosts-only and patterns-only modes
+    assert sorted(r["doc_id"] for r in url_blocklist_filter(
+        df, hosts=["bad.example.com"]).collect()) == [3, 4, 5]
+    assert sorted(r["doc_id"] for r in url_blocklist_filter(
+        df, patterns=[r"/casino/"]).collect()) == [1, 2, 3, 5, 6]
