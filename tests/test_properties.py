@@ -105,3 +105,39 @@ def test_quantile_screen_matches_numpy(spark, vals):
     assert abs(row["p50"] - round(float(np.percentile(vals, 50)), 6)) < 1e-6
     assert abs(row["p90"] - round(float(np.percentile(vals, 90)), 6)) < 1e-6
     assert row["p50_ok"] and row["p90_ok"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="ab cd\n", min_size=0, max_size=40),
+                min_size=2, max_size=12),
+       st.integers(min_value=1, max_value=7))
+def test_surprisal_fp_partitioning_invariant(spark, texts, nparts):
+    """Fixed-point surprisal sums must be bit-identical under ANY
+    partitioning and row order — the property the integer quantization
+    exists to provide (float sums are order-dependent; long sums are
+    not)."""
+    from outliertree_spark.operators.text import surprisal_scores_fp
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    a = {r["doc_id"]: (r["n_tokens"], r["sum_lp_fp"])
+         for r in surprisal_scores_fp(df.coalesce(1)).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["sum_lp_fp"])
+         for r in surprisal_scores_fp(
+             df.repartition(nparts).orderBy(F.desc("doc_id"))).collect()}
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.text(alphabet="xy z", min_size=0, max_size=30),
+                min_size=2, max_size=10))
+def test_bigram_fp_partitioning_invariant(spark, texts):
+    from outliertree_spark.operators.text import bigram_lm_scores_fp
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    a = {r["doc_id"]: r["sum_lp_fp"]
+         for r in bigram_lm_scores_fp(df.coalesce(1)).collect()}
+    b = {r["doc_id"]: r["sum_lp_fp"]
+         for r in bigram_lm_scores_fp(df.repartition(5)).collect()}
+    assert a == b
