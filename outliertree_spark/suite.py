@@ -112,7 +112,7 @@ class ValidationSuite:
     def add_quality_rules(self, id_col: str = "doc_id",
                           text_col: str = "text",
                           include_repetition: bool = False,
-                          name: str | None = None):
+                          name: str | None = None, **rule_thresholds):
         """Declared-constraint document quality gate: rows failing the
         Gopher rule set (operators/gopher.py — Rae et al. 2021 Table
         A1) become violation rows whose ``check_value`` lists the
@@ -120,7 +120,9 @@ class ValidationSuite:
         flag-plus-reason model as the engine's derived tree violations.
         ``include_repetition=True`` adds the Table A1 repetition rules
         (Arrow Counter sweep) as a second violation source tagged
-        ``repetition:``.
+        ``repetition:``.  ``rule_thresholds`` forwards to
+        :func:`operators.gopher.gopher_rule_exprs` (e.g.
+        ``min_stop_hits=0`` for non-English corpora).
 
         Scale shape: the quality set APPENDS rule columns to the corpus
         frame (gopher_features) and filters — entirely row-local, no
@@ -135,7 +137,8 @@ class ValidationSuite:
             # "_gq_" prefix: a corpus frame carrying its own n_words /
             # mean_word_len / ... column must not be overwritten by the
             # appended feature columns (review finding, round 5)
-            rules, keep = gopher_rule_exprs(prefix="_gq_")
+            rules, keep = gopher_rule_exprs(prefix="_gq_",
+                                            **rule_thresholds)
             failed = F.concat_ws(",", *[
                 F.when(~expr, F.lit(rn)) for rn, expr in rules.items()])
             bad = (gopher_features(df, text_col, prefix="_gq_")

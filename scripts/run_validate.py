@@ -101,6 +101,21 @@ def main(argv=None) -> int:
                         "appended as snapshot_delta violations")
     p.add_argument("--snapshot-key", default=None,
                    help="key column for --prev-snapshot (default: --id-col)")
+    p.add_argument("--quality-rules", action="store_true",
+                   help="route the run through ValidationSuite with the "
+                        "Gopher quality gate: failed rules become "
+                        "violation rows (check='quality_rules', failed "
+                        "rule list in check_value) unified with the "
+                        "derived tree violations; NOTE the violations "
+                        "parquet then carries the suite's unified "
+                        "schema, not the engine's")
+    p.add_argument("--quality-text-col", default="text")
+    p.add_argument("--quality-repetition", action="store_true",
+                   help="with --quality-rules: also apply the Gopher "
+                        "repetition rule set (Arrow Counter sweep)")
+    p.add_argument("--quality-min-stop-hits", type=int, default=2,
+                   help="stopword-rule threshold (0 disables it for "
+                        "non-English corpora)")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -145,10 +160,23 @@ def main(argv=None) -> int:
         eng.save(args.model_out)
 
     t0 = time.time()
-    viols, verdicts = eng.validate(
-        df, partition_col=args.partition_col,
-        id_cols=[args.id_col] if args.id_col else None,
-        max_violation_rate=args.max_violation_rate)
+    if args.quality_rules:
+        from outliertree_spark.suite import ValidationSuite
+        suite = ValidationSuite(engine=eng)
+        suite.add_quality_rules(
+            id_col=args.id_col or "doc_id",
+            text_col=args.quality_text_col,
+            include_repetition=args.quality_repetition,
+            min_stop_hits=args.quality_min_stop_hits)
+        viols, verdicts = suite.run(
+            df, partition_col=args.partition_col,
+            id_cols=[args.id_col] if args.id_col else None,
+            max_violation_rate=args.max_violation_rate)
+    else:
+        viols, verdicts = eng.validate(
+            df, partition_col=args.partition_col,
+            id_cols=[args.id_col] if args.id_col else None,
+            max_violation_rate=args.max_violation_rate)
     viols.write.mode("append").parquet(args.violations_out)
 
     _snapshot_check(spark, ledger, args, df_full)

@@ -304,3 +304,44 @@ def test_cli_snapshot_runs_on_nothing_to_do_resume(spark, tmp_path):
     viols = spark.read.parquet(vout).toPandas()
     snap = viols[viols["suspicious_column"] == "snapshot_delta"]
     assert list(snap["doc_id"]) == [7] and len(snap) == 1
+
+
+def test_cli_quality_rules_gate(spark, tmp_path):
+    """--quality-rules routes the run through the ValidationSuite: a
+    planted short doc lands in the violations parquet with the failed
+    rule list, unified with the derived tree violations."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(3)
+    prose = ("the quick brown fox jumps over the lazy dog and then it "
+             "decided that running was fine so it kept going across the "
+             "wide green field with many other animals joining in while "
+             "birds watched from tall trees and the sun moved slowly "
+             "over the distant hills until evening came and all was "
+             "quiet again")
+    n = 40
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(n),
+        "text": [prose + f" end{i}" for i in range(n)],
+        "bucket": np.arange(n) % 4,
+        "value": rng.normal(100, 10, n),
+    })
+    pdf.loc[6, "text"] = "way too short"
+    src = str(tmp_path / "qdocs.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    ledger = str(tmp_path / "qledger.jsonl")
+    vout = str(tmp_path / "qviolations.parquet")
+    cmd = [sys.executable, "scripts/run_validate.py",
+           "--input", src, "--partition-col", "bucket",
+           "--id-col", "doc_id", "--checkpoint", ledger,
+           "--violations-out", vout, "--cols-ignore", "text",
+           "--quality-rules", "--master", "local[2]"]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420,
+                       cwd=".")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["status"] == "ok"
+    viols = spark.read.parquet(vout).toPandas()
+    q = viols[viols["check"] == "quality_rules"]
+    assert set(q["doc_id"]) == {6}
+    assert "rule_word_count" in q.iloc[0]["check_value"]
