@@ -686,6 +686,20 @@ def q_url_blocklist(spark, sf_dir):
     return out.select("doc_id", "url")
 
 
+def q_mix_weights(spark, sf_dir):
+    """DoReMi-style loss reweighting: every covered row keeps its data
+    and carries the weight that makes the weighted language mass match
+    en 40 / de 20 / es 20 / fr 20 (zh excluded by curation).  Weights
+    are exact-integer-derived doubles — (share/share_sum)*total/cnt in
+    a fixed order — so DuckDB reproduces them bit-for-bit; rounded to
+    6dp only for the value hash."""
+    from outliertree_spark.operators.sampling import weight_documents
+    out = weight_documents(_docs(spark, sf_dir), "lang",
+                           {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2})
+    return out.select("doc_id", "lang",
+                      F.round("sample_weight", 6).alias("sample_weight"))
+
+
 def q_bigram_lm(spark, sf_dir):
     """Stupid-Backoff bigram surprisal (Brants et al. 2007) in the
     broadcast-head scale configuration (head_size=20 for both
@@ -1237,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "curation_pipeline": q_curation_pipeline,
         "url_blocklist": q_url_blocklist,
+        "mix_weights": q_mix_weights,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
         # -- active / recently-touched --
@@ -1248,7 +1263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
         "drift_kl_nchars": q_drift_kl_nchars,
-        "asof_last_click": q_asof_last_click,
         "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "url_dup_groups": q_url_dup_groups,
@@ -1284,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dups_exact": q_cosine_near_dups_exact,
         "ts_range_events": q_ts_range_events,
         "bounds_events": q_bounds_events,
+        "asof_last_click": q_asof_last_click,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
@@ -2313,6 +2328,23 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_9gram_char_frac <= 0.11
                     AND dup_10gram_char_frac <= 0.10) AS repetition_keep
             FROM f
+        """,
+        "mix_weights": """
+            WITH tgt(lang, share) AS (VALUES ('de', 0.2), ('en', 0.4),
+                                             ('es', 0.2), ('fr', 0.2)),
+            counts AS (SELECT lang, count(*) AS cnt FROM documents
+                       GROUP BY lang),
+            j AS (SELECT t.lang, coalesce(c.cnt, 0) AS cnt, t.share
+                  FROM tgt t LEFT JOIN counts c USING (lang)),
+            tot AS (SELECT sum(cnt) AS total FROM j),
+            w AS (SELECT lang,
+                      CASE WHEN cnt > 0 THEN (share / 1.0)
+                           * CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)
+                           ELSE 0.0 END AS weight
+                  FROM j, tot)
+            SELECT d.doc_id, d.lang,
+                   round(w.weight, 6) AS sample_weight
+            FROM documents d JOIN w USING (lang)
         """,
         "url_blocklist": r"""
             WITH pages AS (

@@ -152,3 +152,53 @@ def resample_to_mix(df: DataFrame, group_col: str,
                     group_col)
               .filter(b.cast("double") < F.col("mix_rate") * F.lit(float(_MOD)))
               .drop("mix_rate"))
+
+
+def mix_weights(df: DataFrame, group_col: str,
+                shares: dict[str, float]) -> DataFrame:
+    """Per-group LOSS WEIGHTS that re-shape a corpus to ``shares``
+    without dropping rows — the DoReMi-style alternative to
+    :func:`resample_to_mix` when data is scarce: every row is kept and
+    examples are reweighted in the training loss instead.
+
+    ``weight_g = (share_g / sum(shares)) / (cnt_g / total)`` — the
+    ratio of the target share to the observed share over the REQUESTED
+    groups, so ``sum_g(cnt_g * weight_g) == total`` (weights are
+    mean-one over the covered corpus) and weighted group mass matches
+    the normalized target exactly.  Groups absent from ``shares`` get
+    no row (same explicit-curation convention as mix_rates); a
+    requested group with no rows keeps weight 0.0 on its (empty) group.
+
+    Same fixed evaluation order discipline as mix_rates —
+    ``(share / share_sum) * total / cnt`` over exact integer counts —
+    so any SQL engine reproduces the doubles bit-for-bit.  One counting
+    aggregate + broadcasts; returns (group_col, cnt, share, weight)."""
+    assert shares and all(s > 0 for s in shares.values())
+    spark = df.sparkSession
+    share_sum = float(sum(shares.values()))
+    tgt = spark.createDataFrame(
+        sorted(shares.items()), f"{group_col} string, share double")
+    observed = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (tgt.join(F.broadcast(observed), group_col, "left")
+                 .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long"))))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+                  .select(group_col, "cnt", "share",
+                          F.when(F.col("cnt") > 0,
+                                 (F.col("share") / F.lit(share_sum))
+                                 * F.col("_total").cast("double")
+                                 / F.col("cnt").cast("double"))
+                           .otherwise(F.lit(0.0)).alias("weight")))
+
+
+def weight_documents(df: DataFrame, group_col: str,
+                     shares: dict[str, float],
+                     weight_col: str = "sample_weight") -> DataFrame:
+    """Attach the :func:`mix_weights` weight to every covered row via a
+    BroadcastHashJoin (rows of groups outside ``shares`` are dropped,
+    matching resample_to_mix's curation convention).  Row-local apart
+    from the tiny counting aggregate — the corpus never shuffles."""
+    w = mix_weights(df, group_col, shares)
+    return df.join(F.broadcast(w.select(group_col,
+                                        F.col("weight").alias(weight_col))),
+                   group_col)

@@ -360,3 +360,41 @@ def test_quality_gate_does_not_clobber_user_columns(spark):
     _, keep = gopher_rule_exprs(prefix="_gq_")
     out = feats.filter(~keep).select(*df.columns).collect()[0]
     assert out["n_words"] == 999
+
+
+def test_mix_weights_mass_and_mean_one(spark):
+    """Weighted group mass matches the normalized target shares and the
+    weights are mean-one over the covered corpus."""
+    from outliertree_spark.operators.sampling import (mix_weights,
+                                                      weight_documents)
+    rows = ([(i, "en") for i in range(70)] + [(100 + i, "de")
+                                             for i in range(20)]
+            + [(200 + i, "fr") for i in range(10)]
+            + [(300, "zh")])                     # excluded group
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    shares = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    w = {r["lang"]: r["weight"]
+         for r in mix_weights(df, "lang", shares).collect()}
+    # weight = share * total / cnt over covered total (100 rows)
+    assert w["en"] == pytest.approx(0.5 * 100 / 70)
+    assert w["de"] == pytest.approx(0.25 * 100 / 20)
+    assert w["fr"] == pytest.approx(0.25 * 100 / 10)
+    docs = weight_documents(df, "lang", shares)
+    assert docs.count() == 100                   # zh dropped
+    got = docs.groupBy("lang").agg(
+        F.sum("sample_weight").alias("mass")).collect()
+    mass = {r["lang"]: r["mass"] for r in got}
+    assert mass["en"] == pytest.approx(50.0)
+    assert mass["de"] == pytest.approx(25.0)
+    assert mass["fr"] == pytest.approx(25.0)
+
+
+def test_mix_weights_missing_group_zero(spark):
+    from outliertree_spark.operators.sampling import mix_weights
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    w = {r["lang"]: (r["cnt"], r["weight"])
+         for r in mix_weights(df, "lang",
+                              {"en": 0.5, "eo": 0.5}).collect()}
+    assert w["eo"] == (0, 0.0)
+    # covered total is 1 row; en carries the (unachievable) target
+    assert w["en"][1] == pytest.approx(0.5 * 1 / 1)
