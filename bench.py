@@ -437,6 +437,14 @@ def main() -> None:
     bw_before = membw_probe([CPUS])[CPUS]
 
     spark = make_session(CPUS)
+    # warm the Python worker pool before timing: the FIRST Arrow
+    # (mapInPandas/pandas_udf) query in a fresh session otherwise
+    # absorbs ~5-7s of worker spin-up that belongs to the session, not
+    # the plan (measured: gopher_repetition 8.2s cold-first vs 1.38s
+    # warm at sf0.1/local[32])
+    (spark.range(CPUS * 4).repartition(CPUS)
+          .mapInPandas(lambda it: it, "id long")
+          .write.format("noop").mode("overwrite").save())
     queries = run_headline_queries(spark, SF_DIR)
     ann_paths = ann_path_timings(spark, SF_DIR)
     # headline validate timing at CPUS on the 20M table (same number the
