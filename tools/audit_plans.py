@@ -374,6 +374,39 @@ def main() -> None:
         plan_of(bigram_lm_scores_fp(docs.select("doc_id", "text"),
                                     head_size=1000))))
 
+    from outliertree_spark.operators.webtext import url_blocklist_filter
+    pages2 = docs.select("doc_id",
+                         F.concat(F.lit("https://host"),
+                                  (F.col("doc_id") % 97).cast("string"),
+                                  F.lit(".example.com/doc/"),
+                                  F.col("doc_id").cast("string"))
+                         .alias("url"))
+    sections.append((
+        "URL blocklist filter",
+        "Detection on a URL-ONLY projection: dot-boundary host "
+        "suffixes explode (row-local, <= label count per URL) into a "
+        "BroadcastHashJoin LeftSemi against the blocklist dimension; "
+        "the resulting text-free blocked set joins back on url — AQE "
+        "broadcasts it when few URLs match, so document bytes never "
+        "ride the detection path.  Path regexes are a codegen OR "
+        "chain in the final Filter.",
+        plan_of(url_blocklist_filter(pages2,
+                                     hosts=["host3.example.com"],
+                                     patterns=[r"/doc/4[0-9]$"],
+                                     keep=False))))
+
+    from outliertree_spark.operators.sampling import weight_documents
+    sections.append((
+        "DoReMi loss reweighting (weight_documents)",
+        "One column-pruned counting aggregate (map-side combined; the "
+        "exchange is #groups rows) + two broadcast scalars derive the "
+        "per-group weights; the corpus sees only a BroadcastHashJoin "
+        "attaching the weight — no corpus shuffle, rows of groups "
+        "outside the target mix drop in the same join.",
+        plan_of(weight_documents(docs.select("doc_id", "lang"),
+                                 "lang", {"en": 0.4, "de": 0.2,
+                                          "es": 0.2, "fr": 0.2}))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
