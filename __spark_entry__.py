@@ -664,6 +664,16 @@ def q_curation_pipeline(spark, sf_dir):
                         "content_md5"))
 
 
+def _skewed_host_ix():
+    """Zipf-skewed host index from doc_id, in integer arithmetic so the
+    DuckDB twins reproduce it exactly (the north shape's xxhash64-based
+    index has no DuckDB equivalent).  Shared by q_hot_domains,
+    q_orphan_hosts, and q_url_blocklist — their oracle SQL strings each
+    carry the same formula; change all or none."""
+    return F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
+                  " * 97) div 1030301")
+
+
 def q_url_blocklist(spark, sf_dir):
     """UT1-style URL blocklist over the north-shaped corpus: two
     blocked hosts (subdomain-inclusive suffix match) plus one path
@@ -674,8 +684,7 @@ def q_url_blocklist(spark, sf_dir):
     docstring has the scale argument)."""
     from outliertree_spark.operators.webtext import url_blocklist_filter
     d = _docs(spark, sf_dir)
-    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
-                     " * 97) div 1030301")  # hot_domains' skewed index
+    host_ix = _skewed_host_ix()  # hot_domains' skewed index
     url = F.concat(F.lit("https://host"), host_ix.cast("string"),
                    F.lit(".example.com/doc/"),
                    F.col("doc_id").cast("string"))
@@ -1196,8 +1205,7 @@ def q_hot_domains(spark, sf_dir):
     above 1% of the corpus are the ones salted_join scatters."""
     from outliertree_spark.operators.skew import domain_profile
     d = _docs(spark, sf_dir)
-    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
-                     " * 97) div 1030301")
+    host_ix = _skewed_host_ix()
     dom = F.concat(F.lit("host"), host_ix.cast("string"),
                    F.lit(".example.com"))
     prof = domain_profile(d.select(dom.alias("domain")), "domain")
@@ -1212,8 +1220,7 @@ def q_orphan_hosts(spark, sf_dir):
     anti-join BROADCASTS it — the 10^12-row corpus never shuffles."""
     from outliertree_spark.operators.checks import referential_orphans
     d = _docs(spark, sf_dir)
-    host_ix = F.expr("((doc_id % 101) * (doc_id % 101) * (doc_id % 101)"
-                     " * 97) div 1030301")
+    host_ix = _skewed_host_ix()
     dom = F.concat(F.lit("host"), host_ix.cast("string"),
                    F.lit(".example.com"))
     docs = d.select("doc_id", dom.alias("domain"))
@@ -1262,8 +1269,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
-        "drift_kl_nchars": q_drift_kl_nchars,
-        "extract_text": q_extract_text,
         "canonical_urls": q_canonical_urls,
         "url_dup_groups": q_url_dup_groups,
         "decontamination": q_decontamination,
@@ -1299,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_range_events": q_ts_range_events,
         "bounds_events": q_bounds_events,
         "asof_last_click": q_asof_last_click,
+        "drift_kl_nchars": q_drift_kl_nchars,
+        "extract_text": q_extract_text,
         "token_counts": q_token_counts,
         "exact_dedup": q_exact_dedup,
         "topk_cosine": q_topk_cosine,
@@ -2357,8 +2364,11 @@ def oracle_sql() -> dict[str, str]:
                        AS url
                 FROM documents),
             h AS (SELECT doc_id, url,
-                         lower(regexp_extract(url,
-                             '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)', 1))
+                         regexp_replace(regexp_replace(regexp_replace(
+                             lower(regexp_extract(url,
+                                 '^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)',
+                                 1)),
+                             '^.*@', ''), ':[0-9]*$', ''), '\.+$', '')
                              AS host
                   FROM pages)
             SELECT doc_id, url FROM h

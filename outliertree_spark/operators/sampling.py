@@ -163,11 +163,16 @@ def mix_weights(df: DataFrame, group_col: str,
 
     ``weight_g = (share_g / sum(shares)) / (cnt_g / total)`` — the
     ratio of the target share to the observed share over the REQUESTED
-    groups, so ``sum_g(cnt_g * weight_g) == total`` (weights are
-    mean-one over the covered corpus) and weighted group mass matches
-    the normalized target exactly.  Groups absent from ``shares`` get
-    no row (same explicit-curation convention as mix_rates); a
-    requested group with no rows keeps weight 0.0 on its (empty) group.
+    groups.  When every requested group is present,
+    ``sum_g(cnt_g * weight_g) == total`` (weights are mean-one over the
+    covered corpus) and weighted group mass matches the normalized
+    target exactly.  Groups absent from ``shares`` get no row (same
+    explicit-curation convention as mix_rates); a requested group with
+    NO rows keeps weight 0.0, and the weighted mass then deliberately
+    falls short of ``total`` by that group's share — the deficit stays
+    VISIBLE instead of being silently renormalized onto the present
+    groups (callers who want rescaling can divide by
+    ``sum(share where cnt > 0)``).
 
     Same fixed evaluation order discipline as mix_rates —
     ``(share / share_sum) * total / cnt`` over exact integer counts —

@@ -210,7 +210,20 @@ def url_blocklist_filter(df: DataFrame, hosts: list[str] | None = None,
         dim = spark.createDataFrame(
             [(h.lower(),) for h in sorted(set(hosts))],
             "blocked_host string")
-        host = url_host(F.col(url_col))
+        # normalize before suffix matching: extract the FULL authority
+        # (url_host's port-stripping regex stops at the ':' inside
+        # "u:pw@host" userinfo), then strip userinfo, port, and
+        # trailing dots — "x@bad.example.com", "u:pw@...", port forms
+        # and the FQDN "bad.example.com." are all trivial blocklist
+        # evasions otherwise.  The DuckDB twin applies the same steps.
+        auth = F.lower(F.regexp_extract(
+            F.col(url_col),
+            r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", 1))
+        host = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(auth, r"^.*@", ""),
+                r":[0-9]*$", ""),
+            r"\.+$", "")
         labels = F.split(host, r"\.")
         n = F.size(labels)
         suffixes = F.transform(
@@ -229,5 +242,10 @@ def url_blocklist_filter(df: DataFrame, hosts: list[str] | None = None,
     if patterns:
         for p in patterns:
             cond = cond | F.col(url_col).rlike(p)
+    # NULL url: rlike(NULL) is NULL and NULL survives neither filter —
+    # the row would silently vanish from BOTH keep and audit outputs.
+    # Treat NULL url as not-blocked so kept + blocked partition the
+    # input (flag-don't-drop, same convention as the jsonl quarantine).
+    cond = F.coalesce(cond, F.lit(False))
     out = df.filter(~cond if keep else cond)
     return out.drop("_blocked") if hosts else out

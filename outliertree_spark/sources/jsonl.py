@@ -33,14 +33,21 @@ _CORRUPT = "_corrupt_record"
 
 
 def read_documents_jsonl(spark, path: str,
-                         schema: str = DOCS_SCHEMA) -> tuple[DataFrame,
-                                                             DataFrame]:
+                         schema: str = DOCS_SCHEMA,
+                         return_raw: bool = False):
     """Read a JSONL documents dump -> (clean, quarantined).
 
     ``clean`` carries exactly the declared schema; ``quarantined``
     carries (raw line, file) for every record Jackson could not bind.
     Compressed inputs (.gz/.zst per file) are handled transparently by
-    the codec layer."""
+    the codec layer.
+
+    The parsed input is cache()d (see below); the cached relation is
+    released when the plan is garbage-collected (Spark's
+    ContextCleaner), but long-lived ingest sessions doing many reads
+    should release it deterministically: pass ``return_raw=True`` to
+    get ``(clean, quarantined, raw)`` and call ``raw.unpersist()``
+    once both outputs are materialized."""
     raw = (spark.read
            .schema(f"{schema}, {_CORRUPT} string")
            .option("mode", "PERMISSIVE")
@@ -61,6 +68,8 @@ def read_documents_jsonl(spark, path: str,
     quarantined = (raw.filter(F.col(_CORRUPT).isNotNull())
                       .select(F.col(_CORRUPT).alias("raw_line"),
                               F.col("_src_file").alias("file")))
+    if return_raw:
+        return clean, quarantined, raw
     return clean, quarantined
 
 

@@ -104,11 +104,11 @@ def main(argv=None) -> int:
     p.add_argument("--quality-rules", action="store_true",
                    help="route the run through ValidationSuite with the "
                         "Gopher quality gate: failed rules become "
-                        "violation rows (check='quality_rules', failed "
-                        "rule list in check_value) unified with the "
-                        "derived tree violations; NOTE the violations "
-                        "parquet then carries the suite's unified "
-                        "schema, not the engine's")
+                        "violation rows (suspicious_column='quality', "
+                        "failed rule list in suspicious_value) unified "
+                        "with the derived tree violations, conformed to "
+                        "the engine violation schema so the output dir "
+                        "stays single-schema across runs and checks")
     p.add_argument("--quality-text-col", default="text")
     p.add_argument("--quality-repetition", action="store_true",
                    help="with --quality-rules: also apply the Gopher "
@@ -172,6 +172,28 @@ def main(argv=None) -> int:
             df, partition_col=args.partition_col,
             id_cols=[args.id_col] if args.id_col else None,
             max_violation_rate=args.max_violation_rate)
+        # conform the suite's unified rows to the ENGINE violation
+        # schema: violations_out is an append-mode parquet dir shared
+        # with _snapshot_check rows and prior non-quality runs — two
+        # schemas in one dir silently lose columns for any reader
+        # without mergeSchema.  The check name + failed-rule list land
+        # in suspicious_value/explanation.
+        from pyspark.sql import functions as F
+        idc = list(dict.fromkeys(
+            [args.partition_col] + ([args.id_col] if args.id_col else [])))
+        viols = viols.select(
+            *idc, "suspicious_column",
+            F.col("check_value").alias("suspicious_value"),
+            F.lit(None).cast("double").alias("suspicious_value_num"),
+            F.lit(None).cast("string").alias("group_statistics"),
+            F.lit(None).cast("string").alias("conditions"),
+            F.lit(None).cast("long").alias("tree_depth"),
+            F.lit(None).cast("boolean").alias("uses_NA_branch"),
+            "outlier_score",
+            F.coalesce("explanation",
+                       F.concat(F.lit("check ["), F.col("check"),
+                                F.lit("] failed: "),
+                                F.col("check_value"))).alias("explanation"))
     else:
         viols, verdicts = eng.validate(
             df, partition_col=args.partition_col,

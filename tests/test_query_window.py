@@ -82,3 +82,27 @@ def test_rows_only_entries_inside_window():
                          if n not in oracled and n in tail]
     assert not rows_only_in_tail, (
         f"rows-only queries outside the driver window: {rows_only_in_tail}")
+
+
+def test_recently_changed_queries_inside_window():
+    """Queries whose backing code changed THIS round must sit inside the
+    driver's 50-entry window so CORRECTNESS_r05 certifies the change —
+    prior-round green rows satisfy the tail guard but say nothing about
+    this round's code.  Update the list each round to name the queries
+    whose operators were touched."""
+    CHANGED_THIS_ROUND = [
+        # CC fast path + collapse-exact clustering (round 5)
+        "dedup_clusters", "canonical_docs", "dedup_clusters_collapsed",
+        # new round-5 operators
+        "gopher_rules", "gopher_repetition", "bigram_lm",
+        "curation_pipeline", "resample_mix", "mix_weights",
+        "perplexity_buckets", "url_blocklist", "unigram_lm_head",
+        "span_dedup", "outlier_validate_root",
+    ]
+    names, _ = _query_names()
+    window = set(names[:WINDOW])
+    outside = [n for n in CHANGED_THIS_ROUND if n not in window]
+    assert not outside, (
+        f"queries changed this round sit outside the driver's "
+        f"{WINDOW}-entry window and get no fresh CORRECTNESS row: "
+        f"{outside}")

@@ -342,6 +342,12 @@ def test_cli_quality_rules_gate(spark, tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["status"] == "ok"
     viols = spark.read.parquet(vout).toPandas()
-    q = viols[viols["check"] == "quality_rules"]
+    # conformed to the ENGINE violation schema (single-schema output
+    # dir): quality rows carry the kind in suspicious_column and the
+    # failed-rule list in suspicious_value/explanation
+    q = viols[viols["suspicious_column"] == "quality"]
     assert set(q["doc_id"]) == {6}
-    assert "rule_word_count" in q.iloc[0]["check_value"]
+    assert "rule_word_count" in q.iloc[0]["suspicious_value"]
+    assert "quality_rules" in q.iloc[0]["explanation"]
+    assert set(viols.columns) >= {"suspicious_value_num", "conditions",
+                                  "tree_depth"}  # engine schema fields

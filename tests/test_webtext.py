@@ -191,3 +191,26 @@ def test_url_blocklist_suffix_and_patterns(spark):
         df, hosts=["bad.example.com"]).collect()) == [3, 4, 5]
     assert sorted(r["doc_id"] for r in url_blocklist_filter(
         df, patterns=[r"/casino/"]).collect()) == [1, 2, 3, 5, 6]
+
+
+def test_url_blocklist_evasions_and_null(spark):
+    """Userinfo and trailing-dot FQDN forms must still match the
+    blocked host, and NULL urls are kept (not silently dropped from
+    both outputs) so kept + blocked partition the input."""
+    from outliertree_spark.operators.webtext import url_blocklist_filter
+    rows = [
+        (1, "https://x@bad.example.com/p"),      # userinfo evasion
+        (2, "https://bad.example.com./p"),       # trailing-dot FQDN
+        (3, "https://u:pw@sub.bad.example.com./p"),
+        (4, None),                               # NULL url
+        (5, "https://fine.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = url_blocklist_filter(df, hosts=["bad.example.com"],
+                                patterns=[r"/casino/"])
+    blocked = url_blocklist_filter(df, hosts=["bad.example.com"],
+                                   patterns=[r"/casino/"], keep=False)
+    k = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in blocked.collect())
+    assert k == [4, 5] and b == [1, 2, 3]
+    assert len(k) + len(b) == df.count()
