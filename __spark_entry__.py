@@ -380,6 +380,32 @@ def q_decontamination(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Exact-content decontamination through the Bloom scale path
+    (operators/bloom.py): flag corpus docs whose md5(text) appears in
+    the benchmark slice (doc_id % 17 == 0).  The bitmap is built
+    distributedly (bounded m/64-word collect regardless of key count),
+    the probe is row-local with zero corpus shuffle, and the ~fpp
+    survivors get an exact verify semi-join — so the composition is
+    EXACT and the DuckDB oracle is the plain semi-join.  At 10^12 docs
+    this replaces broadcasting the raw key set (1B keys ~ 1.2 GB bitmap
+    vs ~60 GB of strings).  The train side carries a deterministic
+    plant (benchmark texts re-appended under doc_id + 1000000, the
+    _planted_embeddings convention) so the hit set is non-trivially
+    non-empty at every sf."""
+    from outliertree_spark.operators.bloom import bloom_screen
+    d = _docs(spark, sf_dir)
+    bench_rows = d.filter(F.col("doc_id") % 17 == 0)
+    bench = bench_rows.select(F.md5("text").alias("bench_md5"))
+    train = (d.filter(F.col("doc_id") % 17 != 0)
+              .select("doc_id", "text")
+              .unionByName(bench_rows.select(
+                  (F.col("doc_id") + 1000000).alias("doc_id"), "text")))
+    hit = bloom_screen(train, bench, F.md5("text"), "bench_md5",
+                       fpp=0.01)
+    return hit.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub over texts with deterministically planted emails / IPs /
     phone numbers; output is the md5 of the redacted bytes plus per-kind
@@ -1115,6 +1141,20 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    cluster the embeddings, drop every vector with a smaller-id
+    in-cluster neighbor at cosine >= eps (the parallel dominance
+    variant of the paper's greedy sweep — operators/semdedup.py
+    docstring).  Oracled against the exact all-pairs dominance rule in
+    DuckDB: hash equality proves the IVF cell restriction lost no
+    epsilon-pair on the planted fixture (same recall regime the
+    ivf_recall gate pins)."""
+    from outliertree_spark.operators.semdedup import semdedup_removed
+    p = _planted_embeddings(spark, sf_dir)
+    return semdedup_removed(p, eps=0.8, k_cells=32, n_assign=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over verified near-dup pairs (MinHash
     candidates -> exact Jaccard >= 0.7 -> iterative min-label
@@ -1272,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "url_dup_groups": q_url_dup_groups,
         "decontamination": q_decontamination,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
         "boilerplate_removal": q_boilerplate_removal,
@@ -1282,8 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "unigram_lm": q_unigram_lm,
         "dataset_card": q_dataset_card,
-        "verdicts_by_source": q_verdicts_by_source,
-        "top_customers_window": q_top_customers_window,
         "minhash_dups": q_minhash_dups,
         "simhash_dups": q_simhash_dups,
         "fingerprints": q_fingerprints,
@@ -1293,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "ann_topk_recall": q_ann_topk_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "semdedup": q_semdedup,
         # the whole CC-backed trio sits in-window this round: all three
         # run through the round-5 near_dup_components / fast-path CC code
         "dedup_clusters_collapsed": q_dedup_clusters_collapsed,
@@ -1300,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         # ---- tail: long-stable, driver-green in r3 AND r4, untouched ----
         # (outside the 50-entry window; guard test enforces prior green)
+        "verdicts_by_source": q_verdicts_by_source,
+        "top_customers_window": q_top_customers_window,
         "cosine_near_dups_exact": q_cosine_near_dups_exact,
         "ts_range_events": q_ts_range_events,
         "bounds_events": q_bounds_events,
@@ -1799,6 +1841,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mirrors q_decontamination: raw 5-gram strings, benchmark =
         # doc_id % 97 == 0 slice, per-train-doc contaminated-gram counts
+        "bloom_decontaminate": """
+            WITH train AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 17 = 0)
+            SELECT t.doc_id, md5(t.text) AS text_md5
+            FROM train t
+            WHERE md5(t.text) IN (SELECT md5(text) FROM documents
+                                  WHERE doc_id % 17 = 0)
+        """,
         "decontamination": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -2691,6 +2744,15 @@ def oracle_sql() -> dict[str, str]:
                    round(cos, 4) AS top1_cos,
                    true AS lsh_recall_ok, true AS ivf_recall_ok
             FROM r WHERE rk = 1 ORDER BY query_id
+        """,
+        "semdedup": _PLANTED_EMB_SQL + """
+            SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of,
+                   round(max(list_cosine_similarity(a.v, b.v)), 4)
+                     AS max_cosine
+            FROM p a, p b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.v, b.v) >= 0.8
+            GROUP BY b.vec_id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -350,7 +350,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "dataset_card", "unigram_lm_head", "span_dedup",
              "dedup_clusters_collapsed", "gopher_rules", "resample_mix",
              "perplexity_buckets", "gopher_repetition", "bigram_lm",
-             "curation_pipeline", "url_blocklist", "mix_weights"]
+             "curation_pipeline", "url_blocklist", "mix_weights",
+             "semdedup", "bloom_decontaminate"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -407,6 +407,39 @@ def main() -> None:
                                  "lang", {"en": 0.4, "de": 0.2,
                                           "es": 0.2, "fr": 0.2}))))
 
+    from outliertree_spark.operators.semdedup import semdedup_removed
+    sections.append((
+        "SemDeDup semantic dedup (removed set)",
+        "IVF cell assignment is one Arrow pass (centroids in the UDF "
+        "closure — the 'model broadcast'); the only corpus-keyed "
+        "exchange carries (cell, id) pairs into the capped "
+        "bucket_pairs expansion; exact cosines verify candidates and "
+        "the dominance verdict is a map-side-combined groupBy on the "
+        "larger pair id.  Vectors never move twice; nothing is "
+        "all-pairs.",
+        plan_of(semdedup_removed(
+            spark.read.parquet(f"{SF}/embeddings.parquet")
+                 .selectExpr("vec_id",
+                             "transform(embedding, x -> cast(x as double))"
+                             " as embedding"),
+            eps=0.8, k_cells=16, n_assign=2, sample_rows=2000))))
+
+    from outliertree_spark.operators.bloom import bloom_screen
+    from pyspark.sql import functions as F
+    _bk = docs.filter(F.col("doc_id") % 17 == 0) \
+              .select(F.md5("text").alias("bench_md5"))
+    sections.append((
+        "Bloom membership screen (build + probe + exact verify)",
+        "Build: keys expand to k bit positions via JVM xxhash64 "
+        "(codegen), packed by a bit_or aggregate whose exchange AND "
+        "driver collect are bounded by m/64 words regardless of key "
+        "count.  Probe: positions recomputed JVM-side, one vectorized "
+        "NumPy bit test in ArrowEvalPython — ZERO corpus shuffle.  "
+        "Only the ~fpp surviving slice reaches the exact LeftSemi "
+        "verify join (broadcast under AQE).",
+        plan_of(bloom_screen(docs.select("doc_id", "text"), _bk,
+                             F.md5("text"), "bench_md5", fpp=0.01))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
