@@ -188,3 +188,21 @@ def stream_gopher_gate(stream_df: DataFrame, text_col: str = "text",
     return feats.select(*stream_df.columns,
                         *[expr.alias(rn) for rn, expr in rules.items()],
                         keep.alias("gopher_keep"))
+
+
+def stream_bloom_gate(stream_df: DataFrame, bloom: dict, key_expr,
+                      keep_members: bool = False) -> DataFrame:
+    """Streaming Bloom membership gate (operators/bloom.py): the bitmap
+    is a pre-built batch artifact (e.g. a decontamination blockset or
+    revoked-id set), the probe is a stateless row-local filter — no
+    state store, so the batch plan runs on an unbounded stream
+    unchanged.  ``keep_members=False`` (the blocklist configuration)
+    drops documents whose key probes true; ``True`` keeps only probable
+    members (the routing configuration).  Bloom semantics carry over:
+    dropping members is exact (no false negatives), at ~fpp innocent
+    rows are over-dropped — acceptable for a crawl-ingest prefilter;
+    pair with the batch ``bloom_screen`` verify join where exactness is
+    required."""
+    from ..operators.bloom import might_contain
+    hit = might_contain(bloom, key_expr)
+    return stream_df.filter(hit if keep_members else ~hit)

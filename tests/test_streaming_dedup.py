@@ -119,3 +119,32 @@ def test_stream_gopher_gate_stateless(spark, tmp_path):
     assert bool(row.loc[1, "gopher_keep"])
     assert not bool(row.loc[2, "rule_word_count"])
     assert not bool(row.loc[3, "rule_symbol_ratio"])
+
+
+def test_stream_bloom_gate_stateless(spark, tmp_path):
+    from outliertree_spark.operators.bloom import build_bloom
+    from outliertree_spark.streaming.validate import stream_bloom_gate
+    from pyspark.sql import functions as F
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": ["http://ok.example/a", "http://bad.example/x",
+                "http://ok.example/b", "http://bad.example/y"],
+    })
+    src = str(tmp_path / "bloom_src")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    blockset = spark.createDataFrame(
+        [("http://bad.example/x",), ("http://bad.example/y",)],
+        "blocked string")
+    bloom = build_bloom(blockset, "blocked", fpp=0.001)
+    stream = (spark.readStream.schema("doc_id long, url string")
+              .parquet(src))
+    kept = stream_bloom_gate(stream, bloom, F.col("url"))
+    run_stream_to_memory(kept, "bloom_stream")
+    got = spark.sql("SELECT * FROM bloom_stream").toPandas()
+    # members ALWAYS probe true, so both blocked urls are gone for sure
+    assert set(got["doc_id"]) <= {1, 3}
+    members = stream_bloom_gate(stream, bloom, F.col("url"),
+                                keep_members=True)
+    run_stream_to_memory(members, "bloom_members_stream")
+    mem = spark.sql("SELECT * FROM bloom_members_stream").toPandas()
+    assert {2, 4} <= set(mem["doc_id"])
