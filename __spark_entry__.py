@@ -628,6 +628,28 @@ def q_gopher_repetition(spark, sf_dir):
                       *[F.round(c, 6).alias(c) for c in feats], *tail)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk): each document's
+    placement in the fixed-length (ctx 512) packed token stream, packed
+    independently within 8 hash shards so no global sort exists at
+    10^12 docs.  The md5_60 flavor makes shard, order and cumulative
+    offsets bit-for-bit reproducible in DuckDB; placement is computed
+    on the (doc_id, n_tok, h) projection — text never shuffles
+    (plan-asserted in tests/test_packing.py)."""
+    from outliertree_spark.operators.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512, n_shards=8,
+                          hash_kind="md5_60")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document TF-IDF top-3 keyword extraction with fixed-point
+    integer scoring (tf * micro-nat smoothed IDF) so the ranking and
+    tie-break order are bit-identical across engines and
+    partitionings; exchanges carry (doc_id, term, counts) only."""
+    from outliertree_spark.operators.tfidf import tfidf_top_terms
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_resample_mix(spark, sf_dir):
     """Distribution-matched deterministic resampling (DoReMi/FineWeb
     domain mixing): downsample so the surviving language mix is
@@ -1301,11 +1323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": q_mix_weights,
         "resample_mix": q_resample_mix,
         "perplexity_buckets": q_perplexity_buckets,
+        "pack_sequences": q_pack_sequences,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # -- active / recently-touched --
-        "duplicate_keys": q_duplicate_keys,
         "referential_orphans": q_referential_orphans,
-        "orphan_orders": q_orphan_orders,
-        "uniqueness_screen": q_uniqueness_screen,
         "length_quantiles": q_length_quantiles,
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
@@ -1360,6 +1381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "embedding_norms": q_embedding_norms,
         "supplier_agg_rollup": q_supplier_agg_rollup,
+        "duplicate_keys": q_duplicate_keys,
+        "orphan_orders": q_orphan_orders,
+        "uniqueness_screen": q_uniqueness_screen,
     }
 
 
@@ -2547,6 +2571,54 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(fp) AS DOUBLE) / count(*) / 1000000.0,
                          6) AS mean_lp
             FROM lp GROUP BY doc_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH tr AS (
+              SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'),
+                  t -> t <> '')) AS term
+              FROM documents
+            ), dt AS (
+              SELECT doc_id, term, count(*) AS tf FROM tr
+              GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM dt GROUP BY term
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS n_docs FROM dt
+            ), scored AS (
+              SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+                     dt.tf * CAST(round(ln((n.n_docs + 1.0)
+                                           / (dfreq.df + 1.0))
+                                        * 1000000.0) AS BIGINT) AS score_fp
+              FROM dt JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, df, score_fp,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_fp DESC, term ASC) AS INTEGER)
+                     AS rank
+            FROM scored QUALIFY rank <= 3
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tok,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                             || 'pack'), 1, 15) AS BIGINT)
+                       AS h
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tok, h % 8 AS shard,
+                     COALESCE(SUM(n_tok) OVER (PARTITION BY h % 8
+                              ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS tok_start
+              FROM t WHERE n_tok > 0
+            )
+            SELECT doc_id, shard, n_tok, tok_start,
+                   tok_start // 512 AS seq_id,
+                   tok_start % 512 AS offset_in_seq,
+                   (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1
+                     AS n_seqs
+            FROM s
         """,
         "resample_mix": """
             WITH tgt(lang, share) AS (VALUES ('de', 0.2), ('en', 0.4),

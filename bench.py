@@ -351,7 +351,8 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "dedup_clusters_collapsed", "gopher_rules", "resample_mix",
              "perplexity_buckets", "gopher_repetition", "bigram_lm",
              "curation_pipeline", "url_blocklist", "mix_weights",
-             "semdedup", "bloom_decontaminate"]
+             "semdedup", "bloom_decontaminate", "pack_sequences",
+             "tfidf_top_terms"]
     qs = entrymod.queries()
     out = {}
     for name in names:

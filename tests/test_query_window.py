@@ -97,7 +97,8 @@ def test_recently_changed_queries_inside_window():
         "gopher_rules", "gopher_repetition", "bigram_lm",
         "curation_pipeline", "resample_mix", "mix_weights",
         "perplexity_buckets", "url_blocklist", "unigram_lm_head",
-        "span_dedup", "outlier_validate_root",
+        "span_dedup", "outlier_validate_root", "pack_sequences",
+        "tfidf_top_terms",
     ]
     names, _ = _query_names()
     window = set(names[:WINDOW])
