@@ -141,3 +141,74 @@ def test_bigram_fp_partitioning_invariant(spark, texts):
     b = {r["doc_id"]: r["sum_lp_fp"]
          for r in bigram_lm_scores_fp(df.repartition(5)).collect()}
     assert a == b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.integers(min_value=0, max_value=40),
+                min_size=1, max_size=60),
+       st.sampled_from([1, 7, 16]),
+       st.sampled_from([1, 3, 8]))
+def test_pack_sequences_conservation(spark, tok_counts, ctx, shards):
+    """Packing conservation sweep: for ANY token-count multiset, ctx
+    length and shard count, the packed stream is gapless per shard
+    (every doc starts where its predecessor ended), every slot index is
+    consistent arithmetic over tok_start, and total sequence count is
+    exactly ceil(shard total / ctx) — including ctx=1 (every token its
+    own sequence) and docs whose length is an exact ctx multiple."""
+    from outliertree_spark.operators.packing import pack_sequences
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(tok_counts)]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["doc_id", "text"]))
+    placed = pack_sequences(df, ctx, shards).collect()
+    assert len(placed) == sum(1 for c in tok_counts if c > 0)
+    by_shard = {}
+    for r in placed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows_ in by_shard.values():
+        rows_.sort(key=lambda r: r.tok_start)
+        pos = 0
+        for r in rows_:
+            assert r.tok_start == pos
+            assert r.seq_id == r.tok_start // ctx
+            assert r.offset_in_seq == r.tok_start % ctx
+            assert r.n_seqs == (r.tok_start + r.n_tok - 1) // ctx \
+                - r.seq_id + 1
+            pos += r.n_tok
+        # the last sequence index used equals ceil(total/ctx) - 1
+        assert max(re.seq_id + re.n_seqs - 1 for re in rows_) \
+            == (pos - 1) // ctx
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("abcde"), min_size=1,
+                         max_size=6).map(" ".join),
+                min_size=1, max_size=12),
+       st.sampled_from([1, 2, 5]))
+def test_tfidf_topk_against_pure_python(spark, texts, k):
+    """TF-IDF sweep vs an independent pure-Python recomputation: the
+    exact (term, tf, df, score_fp) rows and the top-k cut must match
+    for any corpus over a 5-letter vocabulary, any k."""
+    import math
+    from collections import Counter
+    from outliertree_spark.operators.tfidf import tfidf_top_terms
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score_fp)
+           for r in tfidf_top_terms(df, k=k).collect()}
+    per_doc = {i: Counter(t.split()) for i, t in enumerate(texts)}
+    dfreq = Counter()
+    for c in per_doc.values():
+        dfreq.update(c.keys())
+    n = len(per_doc)
+    want = {}
+    for i, c in per_doc.items():
+        scored = sorted(
+            ((t, tf, dfreq[t],
+              tf * round(math.log((n + 1) / (dfreq[t] + 1)) * 1e6))
+             for t, tf in c.items()),
+            key=lambda x: (-x[3], x[0]))
+        for rank, row in enumerate(scored[:k], start=1):
+            want[(i, rank)] = row
+    assert got == want
