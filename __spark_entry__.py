@@ -650,6 +650,15 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Per-doc 3-gram novelty (fraction of shingles first seen in this
+    doc) — the soft n-gram counterpart of keep-first paragraph dedup.
+    Plain-gram flavor so DuckDB reproduces the exact window-min; ONE
+    gram-partitioned exchange, then a map-side-combined doc aggregate."""
+    from outliertree_spark.operators.text import novelty_scores
+    return novelty_scores(_docs(spark, sf_dir), k=3, hash_kind="plain")
+
+
 def q_resample_mix(spark, sf_dir):
     """Distribution-matched deterministic resampling (DoReMi/FineWeb
     domain mixing): downsample so the surviving language mix is
@@ -1325,8 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "pack_sequences": q_pack_sequences,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "novelty_scores": q_novelty_scores,
         # -- active / recently-touched --
-        "referential_orphans": q_referential_orphans,
         "length_quantiles": q_length_quantiles,
         "snapshot_diff": q_snapshot_diff,
         "drift_psi_lang": q_drift_psi_lang,
@@ -1384,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_keys": q_duplicate_keys,
         "orphan_orders": q_orphan_orders,
         "uniqueness_screen": q_uniqueness_screen,
+        "referential_orphans": q_referential_orphans,
     }
 
 
@@ -2571,6 +2581,30 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(fp) AS DOUBLE) / count(*) / 1000000.0,
                          6) AS mean_lp
             FROM lp GROUP BY doc_id
+        """,
+        "novelty_scores": r"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                     generate_series(1, greatest(len(toks) - 2, 0)),
+                     i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)),
+                                                 '\s+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3),
+            g AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+            f AS (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY gram) AS first_doc
+                  FROM g)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN first_doc = doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS novel_grams,
+                   round(CAST(sum(CASE WHEN first_doc = doc_id
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS novelty_ratio
+            FROM f GROUP BY doc_id
         """,
         "tfidf_top_terms": r"""
             WITH tr AS (

@@ -357,7 +357,7 @@ def run_headline_queries(spark, sf_dir) -> dict[str, float]:
              "perplexity_buckets", "gopher_repetition", "bigram_lm",
              "curation_pipeline", "url_blocklist", "mix_weights",
              "semdedup", "bloom_decontaminate", "pack_sequences",
-             "tfidf_top_terms"]
+             "tfidf_top_terms", "novelty_scores"]
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -217,6 +217,44 @@ def vocab_term_stats(df: DataFrame, id_col: str = "doc_id",
                    F.count(F.lit(1)).alias("term_freq")))
 
 
+def novelty_scores(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   hash_kind: str = "plain") -> DataFrame:
+    """Per-document k-gram NOVELTY: the fraction of a doc's distinct
+    k-word shingles whose FIRST corpus occurrence (minimum id over all
+    docs containing the gram) is this doc.  A curation signal between
+    exact dedup and quality scoring — boilerplate-heavy or templated
+    docs score near 0, genuinely new text near 1 — and the soft
+    counterpart of keep-first paragraph dedup (operators/paragraphs.py)
+    at n-gram granularity.
+
+    Docs with fewer than ``k`` tokens have no grams and emit no rows.
+
+    Scale shape: shingles build row-local (dedup.shingle_rows, which
+    also carries the checkpoint cut against HOF re-inlining); first
+    occurrence is ONE window min over the gram key — a single exchange
+    partitioned by gram — then a map-side-combined per-doc aggregate.
+    ``hash_kind='xxhash64'`` shuffles 8-byte gram hashes instead of
+    gram strings (the 10^12-doc default); ``'plain'`` keeps the string
+    so DuckDB reproduces the result exactly (the oracle flavor — both
+    flavors agree wherever xxhash64 is collision-free)."""
+    from pyspark.sql import Window
+    from .dedup import shingle_rows
+    sh = shingle_rows(df, id_col, text_col, k)
+    g = (F.xxhash64("shingle") if hash_kind == "xxhash64"
+         else F.col("shingle"))
+    sh = sh.select(F.col(id_col), g.alias("_g"))
+    first = sh.withColumn("_first",
+                          F.min(id_col).over(Window.partitionBy("_g")))
+    return (first.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+                  .alias("novel_grams"))
+            .withColumn("novelty_ratio",
+                        F.round(F.col("novel_grams")
+                                / F.col("n_grams"), 6)))
+
+
 def vocab_top_terms(df: DataFrame, n: int = 50, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Top-``n`` vocabulary terms by (doc_freq desc, term_freq desc,

@@ -98,7 +98,7 @@ def test_recently_changed_queries_inside_window():
         "curation_pipeline", "resample_mix", "mix_weights",
         "perplexity_buckets", "url_blocklist", "unigram_lm_head",
         "span_dedup", "outlier_validate_root", "pack_sequences",
-        "tfidf_top_terms",
+        "tfidf_top_terms", "novelty_scores",
     ]
     names, _ = _query_names()
     window = set(names[:WINDOW])
