@@ -237,7 +237,10 @@ def novelty_scores(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     ``hash_kind='xxhash64'`` shuffles 8-byte gram hashes instead of
     gram strings (the 10^12-doc default); ``'plain'`` keeps the string
     so DuckDB reproduces the result exactly (the oracle flavor — both
-    flavors agree wherever xxhash64 is collision-free)."""
+    flavors agree wherever xxhash64 is collision-free).
+
+    The reference has no novelty operator (validation library); this is
+    a pipeline addition per the build brief."""
     from pyspark.sql import Window
     from .dedup import shingle_rows
     sh = shingle_rows(df, id_col, text_col, k)
