@@ -653,8 +653,9 @@ def q_tfidf_top_terms(spark, sf_dir):
 def q_novelty_scores(spark, sf_dir):
     """Per-doc 3-gram novelty (fraction of shingles first seen in this
     doc) — the soft n-gram counterpart of keep-first paragraph dedup.
-    Plain-gram flavor so DuckDB reproduces the exact window-min; ONE
-    gram-partitioned exchange, then a map-side-combined doc aggregate."""
+    Plain-gram flavor so DuckDB reproduces the result exactly; two
+    map-side-combined aggregates + a doc-keyed join, no window (hot
+    grams combine map-side — see the operator docstring)."""
     from outliertree_spark.operators.text import novelty_scores
     return novelty_scores(_docs(spark, sf_dir), k=3, hash_kind="plain")
 

@@ -245,13 +245,15 @@ def materialize_pruned_docs(spark, target_rows) -> str:
     from pyspark.sql import functions as F
     base_path = materialize_scaled_docs(spark, SF_DIR, TARGET_DOCS)
     factor = max(1, target_rows // TARGET_DOCS)
-    # the cache name MUST carry the SF: the pruned table derives from the
-    # SF-specific base, and an sf0.01 bench run would otherwise poison
-    # the sf0.1 cache (observed: a killed sf0.01 run deleted the sf0.1
-    # pruned table mid-overwrite, forcing a 200M-doc rebuild)
+    # the cache name MUST carry every input that determines the content:
+    # the SF (an sf0.01 run would otherwise poison the sf0.1 cache —
+    # observed: a killed sf0.01 run deleted the sf0.1 pruned table
+    # mid-overwrite, forcing a 200M-doc rebuild) AND the base-table size
+    # (factor and doc_id layout derive from TARGET_DOCS, so a run with a
+    # different BENCH_TARGET_DOCS must not silently reuse stale data)
     path = os.path.join(tempfile.gettempdir(),
                         f"bench_docs_pruned_{_sf_number(SF_DIR)}"
-                        f"_{target_rows}.parquet")
+                        f"_{TARGET_DOCS}b_{target_rows}.parquet")
     if not os.path.exists(path):
         raw = spark.read.parquet(base_path)
         w = raw.withColumn("text_len", F.length("text").cast("double"))

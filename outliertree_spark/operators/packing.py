@@ -52,6 +52,12 @@ def _hash60(key: Column, salt: str, hash_kind: str) -> Column:
         return F.conv(F.substring(F.md5(F.concat(key.cast("string"),
                                                  F.lit(salt))), 1, 15),
                       16, 10).cast("long")
+    if hash_kind != "xxhash64":
+        # fail loud: a typo'd or cross-module flavor ('plain', 'md5')
+        # silently falling through to xxhash64 would produce a packing
+        # the caller's oracle cannot reproduce
+        raise ValueError(f"unknown hash_kind {hash_kind!r}: "
+                         f"expected 'md5_60' or 'xxhash64'")
     return F.xxhash64(key.cast("string"), F.lit(salt))
 
 

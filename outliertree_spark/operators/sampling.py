@@ -40,6 +40,12 @@ def _hash_bucket(key: Column, salt: str, hash_kind: str) -> Column:
                                               F.lit(salt))), 1, 15),
                    16, 10).cast("long")
         return F.pmod(h, F.lit(_MOD))
+    if hash_kind != "xxhash64":
+        # fail loud: a typo'd flavor silently falling through to
+        # xxhash64 would select a row set the caller's oracle cannot
+        # reproduce (same guard as packing._hash60)
+        raise ValueError(f"unknown hash_kind {hash_kind!r}: "
+                         f"expected 'md5_60' or 'xxhash64'")
     return F.pmod(F.xxhash64(key.cast("string"), F.lit(salt)), F.lit(_MOD))
 
 

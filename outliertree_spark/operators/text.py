@@ -25,6 +25,18 @@ LANG_MARKERS = {
 BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def term_rows(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """THE shared tokenization: one (id, term) row per whitespace token
+    of the lowered, trimmed text.  vocab_term_stats, the unigram/bigram
+    LMs, and tfidf_top_terms are documented to score over the identical
+    token stream — they must all call this helper so a tokenizer change
+    can never silently de-synchronize them."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return (df.select(F.col(id_col), F.explode(toks).alias("term"))
+              .filter(F.length("term") > 0))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (0 for empty strings)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -209,9 +221,7 @@ def vocab_term_stats(df: DataFrame, id_col: str = "doc_id",
     ``df = count(distinct id)``; the distinct-by-doc is the only
     memory-bearing part and stays bounded by (term x doc) pairs after
     map-side dedup)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = (df.select(F.col(id_col), F.explode(toks).alias("term"))
-            .filter(F.length("term") > 0))
+    ex = term_rows(df, id_col, text_col)
     return (ex.groupBy("term")
               .agg(F.count_distinct(id_col).alias("doc_freq"),
                    F.count(F.lit(1)).alias("term_freq")))
@@ -231,9 +241,15 @@ def novelty_scores(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     Docs with fewer than ``k`` tokens have no grams and emit no rows.
 
     Scale shape: shingles build row-local (dedup.shingle_rows, which
-    also carries the checkpoint cut against HOF re-inlining); first
-    occurrence is ONE window min over the gram key — a single exchange
-    partitioned by gram — then a map-side-combined per-doc aggregate.
+    also carries the checkpoint cut against HOF re-inlining); the doc
+    never needs to SEE which gram is novel, only how many are — so the
+    plan is two independent map-side-combined aggregates and no
+    corpus-sized join or window at all: per-doc gram counts
+    (exchange on the doc key), and per-gram min-doc (exchange on the
+    gram key, hot boilerplate grams combined map-side — a
+    window-min formulation would instead funnel every occurrence of a
+    hot gram into one unsplittable task) re-aggregated by owning doc.
+    The two doc-keyed tables then join co-partitioned.
     ``hash_kind='xxhash64'`` shuffles 8-byte gram hashes instead of
     gram strings (the 10^12-doc default); ``'plain'`` keeps the string
     so DuckDB reproduces the result exactly (the oracle flavor — both
@@ -241,18 +257,21 @@ def novelty_scores(df: DataFrame, k: int = 3, id_col: str = "doc_id",
 
     The reference has no novelty operator (validation library); this is
     a pipeline addition per the build brief."""
-    from pyspark.sql import Window
+    if hash_kind not in ("plain", "xxhash64"):
+        raise ValueError(f"unknown hash_kind {hash_kind!r}: "
+                         f"expected 'plain' or 'xxhash64'")
     from .dedup import shingle_rows
     sh = shingle_rows(df, id_col, text_col, k)
     g = (F.xxhash64("shingle") if hash_kind == "xxhash64"
          else F.col("shingle"))
     sh = sh.select(F.col(id_col), g.alias("_g"))
-    first = sh.withColumn("_first",
-                          F.min(id_col).over(Window.partitionBy("_g")))
-    return (first.groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_grams"),
-                 F.sum((F.col("_first") == F.col(id_col)).cast("long"))
-                  .alias("novel_grams"))
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    owners = (sh.groupBy("_g").agg(F.min(id_col).alias(id_col))
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("novel_grams")))
+    return (per_doc.join(owners, id_col, "left")
+            .withColumn("novel_grams",
+                        F.coalesce(F.col("novel_grams"), F.lit(0)))
             .withColumn("novelty_ratio",
                         F.round(F.col("novel_grams")
                                 / F.col("n_grams"), 6)))
@@ -328,9 +347,7 @@ def unigram_lm_scores(df: DataFrame, id_col: str = "doc_id",
     shuffles regardless of vocabulary size.  ``head_size=None``
     broadcasts the full vocabulary (exact; the oracle path).  The
     per-doc aggregate map-side-combines to one row per document."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
-            .filter(F.length("term") > 0))
+    tr = term_rows(df, id_col, text_col)
     vocab = tr.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
     total = vocab.agg(F.sum("_tf").alias("_total"))
     if head_size is None:
@@ -418,9 +435,7 @@ def surprisal_scores_fp(df: DataFrame, id_col: str = "doc_id",
     Output: (id, n_tokens long, sum_lp_fp long, mean_lp double) where
     ``mean_lp = sum_lp_fp / n_tokens / 1e6`` nats/token (exact double
     division of exact integers — engine-portable)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
-            .filter(F.length("term") > 0))
+    tr = term_rows(df, id_col, text_col)
     vocab = tr.groupBy("term").agg(F.count(F.lit(1)).alias("_tf"))
     total = vocab.agg(F.sum("_tf").alias("_total"))
     if head_size is None:

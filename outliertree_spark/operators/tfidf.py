@@ -40,9 +40,8 @@ def tfidf_top_terms(df: DataFrame, k: int = 5, id_col: str = "doc_id",
     exact integer ``tf * round(ln((N+1)/(df+1)) * 1e6)``; documents
     with no tokens emit no rows.  Deterministic under any
     partitioning (integer scores, total tie-break order)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tr = (df.select(F.col(id_col), F.explode(toks).alias("term"))
-            .filter(F.length("term") > 0))
+    from .text import term_rows
+    tr = term_rows(df, id_col, text_col)
     # the (doc, term) aggregate feeds THREE consumers (scored, df, N);
     # without a cut Catalyst re-inlines it into three full corpus scans
     # (verified on the executed plan).  Lazy localCheckpoint — the same
