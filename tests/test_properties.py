@@ -212,3 +212,33 @@ def test_tfidf_topk_against_pure_python(spark, texts, k):
         for rank, row in enumerate(scored[:k], start=1):
             want[(i, rank)] = row
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                         max_size=8).map(" ".join),
+                min_size=1, max_size=10))
+def test_novelty_against_pure_python(spark, texts):
+    """Novelty sweep vs an independent recomputation: for any corpus
+    over a 3-letter vocabulary (heavy gram collisions by construction),
+    per-doc (n_grams, novel_grams) must equal the set-based ground
+    truth, and docs with fewer than k tokens must emit nothing."""
+    from outliertree_spark.operators.text import novelty_scores
+    k = 3
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = {r.doc_id: (r.n_grams, r.novel_grams)
+           for r in novelty_scores(df, k=k).collect()}
+    shingles = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        shingles[i] = {" ".join(toks[j:j + k])
+                       for j in range(len(toks) - k + 1)}
+    owner = {}
+    for i in sorted(shingles):
+        for g in shingles[i]:
+            owner.setdefault(g, i)
+    want = {i: (len(sh), sum(1 for g in sh if owner[g] == i))
+            for i, sh in shingles.items() if sh}
+    assert got == want
