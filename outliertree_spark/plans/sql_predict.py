@@ -2,8 +2,18 @@
 
 For shallow models (the default: depth <= 4, tens of clusters) the whole
 predict decision — bound tests, condition chains, and the reference's
-tie-break — fits in JVM column expressions inside whole-stage codegen,
-eliminating Python/Arrow from the flagging path entirely.
+tie-break — fits in JVM column expressions, eliminating Python/Arrow
+from the flagging path entirely.
+
+Codegen caveat (measured, not theoretical): with enough clusters the
+single ``least(struct(...), ...)`` expression exceeds janino's 64 KB
+method limit, Spark logs the compile failure and evaluates that one
+expression interpreted (correctness unaffected — the bench's jvm_ladder
+and the streaming at_scale path run this way; the Arrow
+``predict_batch`` path is the measured-fastest flagging path and is
+what the headline ladders use).  The split-into-projections alternative
+does not help: Catalyst collapses adjacent projects and re-inlines the
+subtrees (the same behavior documented at text.winnowing_fingerprints).
 
 Correctness argument (verified against predict_batch in tests): the
 reference's sequential best-cluster update rule (predict.cpp:688-728) is
