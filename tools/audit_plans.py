@@ -440,6 +440,52 @@ def main() -> None:
         plan_of(bloom_screen(docs.select("doc_id", "text"), _bk,
                              F.md5("text"), "bench_md5", fpp=0.01))))
 
+    from outliertree_spark.operators.packing import pack_sequences
+    sections.append((
+        "Sequence packing (concat-and-chunk placement)",
+        "Token count + 60-bit hash are computed inside the scan "
+        "project (text is consumed there and never leaves the scan "
+        "stage); the single exchange partitions by shard and carries "
+        "only (doc_id, n_tok, _h); the per-shard Sort + Window "
+        "computes the cumulative token offset; slot arithmetic "
+        "(seq_id / offset / span) is a final row-local project.  No "
+        "global sort exists — shards are the parallel unit at 10^12 "
+        "docs.",
+        plan_of(pack_sequences(docs, ctx_len=512, n_shards=8,
+                               hash_kind="md5_60"))))
+
+    from outliertree_spark.operators.tfidf import tfidf_top_terms
+    sections.append((
+        "TF-IDF top-k terms (fixed-point keyword extraction)",
+        "The (doc, term) count aggregate feeds three consumers "
+        "(per-doc scores, document frequencies, the N single-row "
+        "aggregate); without a cut Catalyst re-inlines it into THREE "
+        "full corpus scans — fixed with the lazy-localCheckpoint rule "
+        "(same as the fingerprint/signature tables): the final plan "
+        "has zero FileScans, all branches read the materialized "
+        "reduction.  The df table joins back by BroadcastExchange; "
+        "the per-doc top-k runs as WindowGroupLimit(Partial) BELOW "
+        "the doc_id exchange, so the window exchange carries at most "
+        "k rows per (doc, partition) — counts only, never text.",
+        plan_of(tfidf_top_terms(docs, k=3))))
+
+    from outliertree_spark.operators.text import novelty_scores
+    sections.append((
+        "k-gram novelty scores",
+        "Shingles build row-local (shingle_rows' checkpoint cut "
+        "applies).  The doc never needs to see WHICH grams are novel, "
+        "only how many — so the plan is two independent "
+        "map-side-combined aggregates (per-doc gram count on the doc "
+        "key; per-gram min-doc on the gram key, re-aggregated by "
+        "owning doc) joined co-partitioned on the doc key.  No window "
+        "and no corpus-sized join: a window-min formulation would "
+        "funnel a hot boilerplate gram's every occurrence into one "
+        "unsplittable WindowExec task, while partial_min combines "
+        "them map-side (review-pass fix; 47.2->38.8s at the 2M-doc "
+        "stress).  Exchanges carry 8-byte gram hashes in the scale "
+        "flavor, never text.",
+        plan_of(novelty_scores(docs, k=3, hash_kind="xxhash64"))))
+
     with open("docs/PLANS.md", "w") as f:
         f.write("# PLANS — physical-plan audit of the headline operators\n\n")
         f.write("Generated by `python tools/audit_plans.py` (pyspark "
