@@ -100,17 +100,20 @@ def shingle_hash_array(text_col: str = "text", k: int = 3):
     return F.when(n >= k, acc).otherwise(F.array().cast("array<long>"))
 
 
-def shingle_rows(df: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, shingle) exploded DISTINCT k-word shingles (row-local build +
-    array_distinct before the explode, so the dedup is also shuffle-free).
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, _sh array<string>) of DISTINCT k-word shingles, row-local
+    build, cut from the optimizer with a lazy ``localCheckpoint``.
 
     The token array is materialized first and the shingle table is cut
-    from the optimizer with a lazy ``localCheckpoint``: exploding a
-    nested-HOF expression directly makes the optimizer re-inline the
-    token split into every shingle position — O(P^2) splitting per doc
-    (the same pathology measured and fixed in
-    ``text.winnowing_fingerprints``)."""
+    from the optimizer: exploding a nested-HOF expression directly makes
+    the optimizer re-inline the token split into every shingle position —
+    O(P^2) splitting per doc (the same pathology measured and fixed in
+    ``text.winnowing_fingerprints``).  Consumers that need both the
+    per-doc shingle COUNT and the exploded rows read this one
+    materialization (round 6: novelty_scores' per-doc gram count moved
+    from a second explode+aggregate pass to a row-local ``size`` over
+    this table — one fewer corpus aggregate, identical output)."""
     d1 = _spread(df).select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t"))
@@ -119,9 +122,16 @@ def shingle_rows(df: DataFrame, id_col: str = "doc_id",
     idx = F.sequence(F.lit(0), n - k)
     sh = F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
     arr = F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
-    d2 = d1.select(F.col(id_col),
-                   F.array_distinct(arr).alias("_sh")) \
-           .localCheckpoint(eager=False)
+    return d1.select(F.col(id_col),
+                     F.array_distinct(arr).alias("_sh")) \
+             .localCheckpoint(eager=False)
+
+
+def shingle_rows(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) exploded DISTINCT k-word shingles (see
+    :func:`shingle_arrays` for the build/checkpoint discipline)."""
+    d2 = shingle_arrays(df, id_col, text_col, k)
     return d2.select(F.col(id_col), F.explode("_sh").alias("shingle"))
 
 
@@ -157,11 +167,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
               for _ in range(n_hashes)]
     # arithmetic shingle IDs (shingle_hash_array) instead of exploded
     # shingle strings: same row-local/no-exchange shape, ~2x less
-    # per-row HOF cost (measured; see shingle_hash_array docstring)
+    # per-row HOF cost (measured; see shingle_hash_array docstring).
+    # NO array_distinct before the explode (round 6): a duplicate
+    # shingle cannot change any of the 64 mins, so signatures are
+    # identical without the dedup pass — the extra duplicate rows feed
+    # the map-side-combined aggregate, which is cheaper than the
+    # per-row distinct (measured 0.96s -> 0.82s on the signature stage
+    # at sf0.1).
     ex = (_spread(df)
           .select(F.col(id_col),
-                  F.explode(F.array_distinct(
-                      shingle_hash_array(text_col, k_shingle))).alias("_sh"))
+                  F.explode(
+                      shingle_hash_array(text_col, k_shingle)).alias("_sh"))
           .withColumn("_h", F.pmod(F.col("_sh"), F.lit(MERSENNE))))
     # one F.expr for the whole 64-min array: building the aggregates as
     # n_hashes x ~6 Column method calls cost ~1.1s of py4j round trips

@@ -29,11 +29,22 @@ def train_centroids(emb: DataFrame, vec_col: str = "embedding",
                     k_cells: int = 64, sample_rows: int = 20000,
                     n_iters: int = 10, seed: int = 42) -> np.ndarray:
     """Seeded Lloyd's k-means on a bounded sample; returns (k, dim)
-    L2-normalized centroids.  Deterministic for fixed inputs/seed."""
-    n = emb.count()
-    frac = min(1.0, sample_rows / max(n, 1))
-    pdf = (emb.select(vec_col).sample(fraction=frac, seed=seed)
-              .toPandas() if frac < 1.0 else emb.select(vec_col).toPandas())
+    L2-normalized centroids.  Deterministic for fixed inputs/seed.
+
+    One action on the common path (round 6, the engine.fit probe
+    pattern): a ``limit(sample_rows + 1)`` collect — CollectLimit
+    gathers partitions in order, so when the input fits the cap the
+    probe IS the full table in the same row order the old
+    ``toPandas()`` returned (centroids bit-identical; asserted in
+    tests/test_similarity_ops.py).  Only when the probe overflows does
+    the count + seeded Bernoulli sample run, exactly as before."""
+    probe = emb.select(vec_col).limit(sample_rows + 1).toPandas()
+    if len(probe) <= sample_rows:
+        pdf = probe
+    else:
+        n = emb.count()
+        frac = min(1.0, sample_rows / max(n, 1))
+        pdf = emb.select(vec_col).sample(fraction=frac, seed=seed).toPandas()
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(k_cells, len(x))

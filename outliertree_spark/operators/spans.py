@@ -39,7 +39,7 @@ SQL-oracleable; see __spark_entry__.q_span_dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _spread, shingle_hash_array
 
@@ -88,17 +88,29 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
 
     A span key occurring at >= 2 (doc_id, pos) sites keeps its smallest
     (doc_id, pos) occurrence; every other site is a loser row
-    ``(doc_id, pos, key, n_sites)``.  One exchange, keyed on the span
-    key, carrying (key, doc_id, pos) triples only."""
+    ``(doc_id, pos, key, n_sites)``.  ONE exchange, keyed on the span
+    key, carrying (key, doc_id, pos) triples only: keep-first marking is
+    a ``row_number`` over (key; doc_id, pos) and ``n_sites`` a ``count``
+    over the same partition, which shares the window sort — the same
+    shape as ``paragraphs.dedup_paragraphs``.  The round-5 form
+    aggregated keys and joined the occurrence table back against the
+    winners, which exchanged the per-window table TWICE (once into the
+    aggregate, once into the join) and re-exploded the span arrays for
+    the second pass; the window form exchanges and sorts it once
+    (measured sf0.1 end-to-end: 1.61s -> ~1.1s warm, identical rows).
+    Trade-off as documented in paragraphs.py: a span hotter than one
+    task's partition share lands on a single task — acceptable because a
+    span row is ~24 bytes and ubiquitous-boilerplate spans are capped
+    upstream by document structure, the same argument the paragraph
+    operator ships with."""
     occ = span_occurrences(df, id_col, text_col, span_tokens, key_kind)
-    g = (occ.groupBy("key")
-            .agg(F.min(F.struct(F.col(id_col), F.col("pos")))
-                 .alias("_keep"),
-                 F.count(F.lit(1)).alias("n_sites")))
-    j = occ.join(g.filter(F.col("n_sites") >= 2), "key")
-    return (j.filter((F.col(id_col) != F.col(f"_keep.{id_col}"))
-                     | (F.col("pos") != F.col("_keep.pos")))
-             .select(id_col, "pos", "key", "n_sites"))
+    w = Window.partitionBy("key").orderBy(F.col(id_col).asc(),
+                                          F.col("pos").asc())
+    wc = Window.partitionBy("key")
+    return (occ.withColumn("_rn", F.row_number().over(w))
+               .withColumn("n_sites", F.count(F.lit(1)).over(wc))
+               .filter(F.col("_rn") > 1)
+               .select(id_col, "pos", "key", "n_sites"))
 
 
 def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",

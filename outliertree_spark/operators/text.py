@@ -84,26 +84,41 @@ def lang_id(text: Column | str) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds deterministic quality features: n_chars, n_tokens,
-    mean_token_len, punct_ratio, stopword_ratio, quality_score in [0,1]."""
+    mean_token_len, punct_ratio, stopword_ratio, quality_score in [0,1].
+
+    Built in LAYERED projections (raw counts -> ratios -> score), each
+    layer referencing the previous one's COLUMNS: the heavy
+    subexpressions (token split, 5 stopword replace chains, punct
+    regexp) appear once each and CollapseProject keeps the layers
+    separate because collapsing would duplicate non-cheap expressions.
+    The round-5 single-projection form rebuilt the same expression
+    objects inside every ratio and the score's when/least branches,
+    where conditional evaluation defeats codegen subexpression
+    elimination — measured 0.67s -> 0.21s at sf0.1 (identical output,
+    exceptAll both ways = 0)."""
     c = F.col(text_col)
     n_chars = F.length(c).cast("double")
     n_tokens = token_count(c).cast("double")
     punct = (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("double")
     stop = sum((_count_occurrences(c, w) for w in LANG_MARKERS["en"]),
                F.lit(0).cast("long")).cast("double")
-    mean_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, stop / n_tokens).otherwise(F.lit(0.0))
+    l1 = df.withColumns({"n_chars_q": n_chars, "_nt_q": n_tokens,
+                         "_punct_q": punct, "_stop_q": stop})
+    nt, nc = F.col("_nt_q"), F.col("n_chars_q")
+    pu, st = F.col("_punct_q"), F.col("_stop_q")
+    mean_tok = F.when(nt > 0, (nc - (nt - 1)) / nt).otherwise(F.lit(0.0))
+    punct_ratio = F.when(nc > 0, pu / nc).otherwise(F.lit(0.0))
+    stop_ratio = F.when(nt > 0, st / nt).otherwise(F.lit(0.0))
+    l2 = l1.withColumns({"n_tokens": nt.cast("long"),
+                         "mean_token_len": mean_tok,
+                         "punct_ratio": punct_ratio,
+                         "stopword_ratio": stop_ratio})
     # simple monotone blend: long enough, not punctuation soup, some stopwords
-    score = (F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
-             + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
-             + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3)
-    return (df.withColumn("n_chars_q", n_chars)
-              .withColumn("n_tokens", n_tokens.cast("long"))
-              .withColumn("mean_token_len", mean_tok)
-              .withColumn("punct_ratio", punct_ratio)
-              .withColumn("stopword_ratio", stop_ratio)
-              .withColumn("quality_score", score))
+    score = (F.least(nt / 100.0, F.lit(1.0)) * 0.4
+             + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+             + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3)
+    return (l2.withColumn("quality_score", score)
+              .drop("_nt_q", "_punct_q", "_stop_q"))
 
 
 def fingerprint(text: Column | str) -> Column:
@@ -260,12 +275,20 @@ def novelty_scores(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     if hash_kind not in ("plain", "xxhash64"):
         raise ValueError(f"unknown hash_kind {hash_kind!r}: "
                          f"expected 'plain' or 'xxhash64'")
-    from .dedup import shingle_rows
-    sh = shingle_rows(df, id_col, text_col, k)
+    from .dedup import shingle_arrays
+    arrs = shingle_arrays(df, id_col, text_col, k)
+    # per-doc gram count is row-local over the materialized shingle
+    # table (round 6): the shingle array is already distinct, so
+    # ``size`` equals the old explode+count aggregate exactly (docs with
+    # no grams emit no row, matching the explode's empty-array drop) —
+    # one corpus aggregate pass and its exchange removed.
+    per_doc = (arrs.select(F.col(id_col),
+                           F.size("_sh").cast("long").alias("n_grams"))
+                   .filter(F.col("n_grams") > 0))
+    sh = arrs.select(F.col(id_col), F.explode("_sh").alias("shingle"))
     g = (F.xxhash64("shingle") if hash_kind == "xxhash64"
          else F.col("shingle"))
     sh = sh.select(F.col(id_col), g.alias("_g"))
-    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
     owners = (sh.groupBy("_g").agg(F.min(id_col).alias(id_col))
                 .groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("novel_grams")))
@@ -548,7 +571,18 @@ def bigram_lm_scores_fp(df: DataFrame, id_col: str = "doc_id",
     c = F.col(text_col)
     toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
                     lambda t: F.length(t) > 0)
-    d1 = _spread(df).select(F.col(id_col), toks.alias("_t"))
+    # ONE materialization, of the token ARRAYS (round 6): the round-5
+    # shape checkpointed the pair-struct table (every token stored
+    # twice, as w1 of one struct and w2 of the next) AND re-ran the
+    # corpus scan + split for the unigram stream off the uncut d1 —
+    # two corpus passes plus a doubled checkpoint write.  Both the pair
+    # explode and the token explode now read this single token-array
+    # materialization; the pair build references the checkpointed ``_t``
+    # column, so every HOF pass stays O(tokens) (the shingle_arrays
+    # rule).  Pair construction is expression-identical, so scores are
+    # unchanged.
+    d1 = _spread(df).select(F.col(id_col), toks.alias("_t")) \
+                    .localCheckpoint(eager=False)
     t = F.col("_t")
     n = F.size(t)
     pairs = F.when(n >= 2, F.filter(
@@ -556,9 +590,7 @@ def bigram_lm_scores_fp(df: DataFrame, id_col: str = "doc_id",
                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
         lambda p: p["w2"].isNotNull())
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    d2 = d1.select(F.col(id_col), pairs.alias("_bg")) \
-           .localCheckpoint(eager=False)
-    bg = (d2.select(F.col(id_col), F.explode("_bg").alias("_p"))
+    bg = (d1.select(F.col(id_col), F.explode(pairs).alias("_p"))
             .select(F.col(id_col), F.col("_p.w1").alias("w1"),
                     F.col("_p.w2").alias("w2")))
 
