@@ -237,11 +237,16 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     # norms hoisted to once per vector (and into the checkpointed corpus
     # table) — bit-identical to per-pair evaluation: same fold per
     # vector, same qn * cn operand order below
-    qv = (queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
-                         norm_expr(F.col(vec_col)).alias("_qn"),
-                         lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
-                         .alias("_bkts"))
-                 .localCheckpoint(eager=False))
+    # the query side is NOT checkpointed (round 6): it is referenced
+    # twice (bucket explode + re-rank join) but queries are small by
+    # contract here, so recomputing the 1-batch Arrow bucket UDF costs
+    # less than the checkpoint's own materialization job + AQE cycle
+    # (A/B sf0.1 measured; candidate set identical — the UDF is
+    # deterministic for a fixed seed).
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"),
+                        norm_expr(F.col(vec_col)).alias("_qn"),
+                        lsh_bucket_arrays(vec_col, n_tables, n_planes, seed)
+                        .alias("_bkts"))
     qe = qv.select(query_id_col, F.posexplode("_bkts").alias("_tbl", "_bkt"))
     cand = (c.join(F.broadcast(qe), ["_tbl", "_bkt"])
              .filter(F.col("neighbor_id") != F.col(query_id_col))

@@ -571,18 +571,13 @@ def bigram_lm_scores_fp(df: DataFrame, id_col: str = "doc_id",
     c = F.col(text_col)
     toks = F.filter(F.split(F.lower(F.trim(c)), r"\s+"),
                     lambda t: F.length(t) > 0)
-    # ONE materialization, of the token ARRAYS (round 6): the round-5
-    # shape checkpointed the pair-struct table (every token stored
-    # twice, as w1 of one struct and w2 of the next) AND re-ran the
-    # corpus scan + split for the unigram stream off the uncut d1 —
-    # two corpus passes plus a doubled checkpoint write.  Both the pair
-    # explode and the token explode now read this single token-array
-    # materialization; the pair build references the checkpointed ``_t``
-    # column, so every HOF pass stays O(tokens) (the shingle_arrays
-    # rule).  Pair construction is expression-identical, so scores are
-    # unchanged.
-    d1 = _spread(df).select(F.col(id_col), toks.alias("_t")) \
-                    .localCheckpoint(eager=False)
+    # The pair-struct table is the one materialization: the pair stream
+    # is referenced TWICE downstream (bigram vocabulary aggregate +
+    # scoring join), so checkpointing the token arrays instead and
+    # rebuilding pairs per reference re-runs the zip_with chain twice —
+    # measured ~0.4s SLOWER end-to-end at sf0.1 (round-6 A/B, fresh
+    # processes) than paying the doubled checkpoint write once.
+    d1 = _spread(df).select(F.col(id_col), toks.alias("_t"))
     t = F.col("_t")
     n = F.size(t)
     pairs = F.when(n >= 2, F.filter(
@@ -590,7 +585,9 @@ def bigram_lm_scores_fp(df: DataFrame, id_col: str = "doc_id",
                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
         lambda p: p["w2"].isNotNull())
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (d1.select(F.col(id_col), F.explode(pairs).alias("_p"))
+    d2 = d1.select(F.col(id_col), pairs.alias("_bg")) \
+           .localCheckpoint(eager=False)
+    bg = (d2.select(F.col(id_col), F.explode("_bg").alias("_p"))
             .select(F.col(id_col), F.col("_p.w1").alias("w1"),
                     F.col("_p.w2").alias("w2")))
 
