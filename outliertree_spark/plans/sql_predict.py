@@ -5,15 +5,19 @@ predict decision — bound tests, condition chains, and the reference's
 tie-break — fits in JVM column expressions, eliminating Python/Arrow
 from the flagging path entirely.
 
-Codegen caveat (measured, not theoretical): with enough clusters the
-single ``least(struct(...), ...)`` expression exceeds janino's 64 KB
-method limit, Spark logs the compile failure and evaluates that one
-expression interpreted (correctness unaffected — the bench's jvm_ladder
-and the streaming at_scale path run this way; the Arrow
-``predict_batch`` path is the measured-fastest flagging path and is
-what the headline ladders use).  The split-into-projections alternative
-does not help: Catalyst collapses adjacent projects and re-inlines the
-subtrees (the same behavior documented at text.winnowing_fingerprints).
+Codegen (round 6, VERDICT r05 item 4): compiled as ONE expression the
+winner exceeded janino's 64 KB method limit on non-trivial models and
+the WHOLE fused stage — including the 20M-row scan+prefilter — fell
+back to interpreted evaluation (measured ~2x the Arrow path, round 5).
+The compilation is now layered (compile_score_exprs): shared predictor
+encodings and per-tree-node path conditions become columns, per-column
+winners are chunked ``least()`` partials of at most _CHUNK clusters,
+and score_sql separates the layers with partition-preserving no-op
+Coalesce stage breaks so (a) plain CollapseProject cannot re-inline
+them, (b) the scan stage compiles on its own, and (c) every generated
+method stays under the janino limit.  Measured on the 20M-row bench
+model: zero codegen failures, score() 3.83s -> 2.95s vs Arrow
+predict 2.40s (1.23x, from 1.6x).
 
 Correctness argument (verified against predict_batch in tests): the
 reference's sequential best-cluster update rule (predict.cpp:688-728) is
@@ -35,23 +39,37 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..colref import qcol
 
 _WORST = (1, 9999, 0, 2.0)  # sentinel losing to every real candidate
+_CHUNK = 24  # clusters per partial-winner chunk (janino method budget)
 
 
-def _num_ref(col: str, schema: dict):
-    """(value expression in model space, is-NA predicate) for a numeric
-    condition column; timestamp predictors compare in the shifted-seconds
-    space the model was fitted in."""
+def _num_ref_exprs(col: str, schema: dict):
+    """(value expression in model space, is-NA-of-value fn) for a
+    numeric condition column; timestamp predictors compare in the
+    shifted-seconds space the model was fitted in.  Returned as the raw
+    encoding expression plus a function building the NA predicate from
+    a (possibly column-factored) value reference, so the encoding can
+    be computed once per row and shared (see compile_score_exprs)."""
     info = (schema or {}).get(col) or {}
     c = qcol(col)
     if info.get("kind") == "timestamp":
         v = F.unix_timestamp(c).cast("double") - F.lit(info["ts_min"])
-        return v, c.isNull()
-    v = c.cast("double")
-    return v, c.isNull() | F.isnan(v)
+        return v, lambda ref: c.isNull()
+    return c.cast("double"), lambda ref: c.isNull() | F.isnan(ref)
+
+
+def _num_ref(col: str, schema: dict, numref=None):
+    """(value reference, is-NA predicate) for a numeric condition
+    column.  ``numref`` (when given) maps the column to a shared
+    factored reference built by compile_score_exprs; without it the
+    encoding is inlined (legacy single-expression behavior)."""
+    if numref is not None:
+        return numref(col)
+    v, isna = _num_ref_exprs(col, schema)
+    return v, isna(v)
 
 
 def _edge_condition(parent: dict, child: dict, levels_by_col: dict,
-                    schema: dict):
+                    schema: dict, numref=None):
     """Column predicate for entering ``child`` from ``parent`` (None = no
     restriction)."""
     br = child["parent_branch"]
@@ -59,7 +77,7 @@ def _edge_condition(parent: dict, child: dict, levels_by_col: dict,
         return None
     if br == "allbranch":
         own = child.get("own") or {}
-        return _own_condition(own, levels_by_col, schema)
+        return _own_condition(own, levels_by_col, schema, numref)
     if br == "subtrees":
         lev = child.get("branch_lev")
         col = parent.get("col")
@@ -72,7 +90,7 @@ def _edge_condition(parent: dict, child: dict, levels_by_col: dict,
     kind = parent.get("col_kind")
     c = qcol(col)
     if kind == "numeric":
-        v, isna = _num_ref(col, schema)
+        v, isna = _num_ref(col, schema, numref)
         if br == "isna":
             return isna
         return ~isna & (v <= parent["split_point"] if br == "le"
@@ -94,7 +112,8 @@ def _lv(v):
     return bool(v) if isinstance(v, bool) else v
 
 
-def _own_condition(own: dict, levels_by_col: dict, schema: dict):
+def _own_condition(own: dict, levels_by_col: dict, schema: dict,
+                   numref=None):
     col = own.get("col")
     if col is None:
         return None
@@ -102,7 +121,7 @@ def _own_condition(own: dict, levels_by_col: dict, schema: dict):
     kind = own["kind"]
     br = own["branch"]
     if kind == "numeric":
-        v, isna = _num_ref(col, schema)
+        v, isna = _num_ref(col, schema, numref)
         if br == "isna":
             return isna
         return ~isna & (v <= own["point"] if br == "le" else v > own["point"])
@@ -119,7 +138,8 @@ def _own_condition(own: dict, levels_by_col: dict, schema: dict):
     return c.isin([_lv(levels[i]) for i, s in enumerate(ss) if s == want])
 
 
-def _cluster_own_condition(cl: dict, levels_by_col: dict, schema: dict):
+def _cluster_own_condition(cl: dict, levels_by_col: dict, schema: dict,
+                           numref=None):
     st = cl["split_type"]
     if st == "root":
         return None
@@ -127,7 +147,7 @@ def _cluster_own_condition(cl: dict, levels_by_col: dict, schema: dict):
     kind = cl["col_kind"]
     c = qcol(col)
     if kind == "numeric":
-        v, isna = _num_ref(col, schema)
+        v, isna = _num_ref(col, schema, numref)
         if st == "isna":
             return isna
         return ~isna & (v <= cl["split_point"] if st == "le"
@@ -168,7 +188,15 @@ def _score_expr(cm: dict, cl: dict, val: Column):
             v = val
         z = (v - F.lit(cl["cluster_mean"])) / F.lit(max(cl["cluster_sd"], 1e-12))
         score = F.lit(1.0) / F.greatest(z * z, F.lit(1.0))
-        return F.when(F.isnan(score), F.lit(1.0 - 1e-15)).otherwise(score)
+        if t in ("log", "exp"):
+            # the guard can only fire when the transform itself produced
+            # NaN (log of a non-positive shifted value); for the plain
+            # transform the matched-cluster precondition already excludes
+            # NaN values and mean/sd are finite literals, so z*z is never
+            # NaN and the guard is dead code — omitting it halves the
+            # per-cluster generated code (round 6, janino size budget)
+            return F.when(F.isnan(score), F.lit(1.0 - 1e-15)).otherwise(score)
+        return score
     # categorical: per-level stored score
     levels = cm["levels"]
     sc = cl["score_categ"] or []
@@ -180,39 +208,100 @@ def _score_expr(cm: dict, cl: dict, val: Column):
     return expr
 
 
-def compile_score_exprs(model: dict, df_cols: set[str]) -> dict[str, Column]:
-    """Per-target-column Column of struct(nab, depth, neg_size, score,
-    col_ix, cluster_id); least() of these + the worst-sentinel gives the
-    per-row winner with the reference tie-break (earlier column / earlier
-    cluster wins exact ties, as in the sequential update)."""
+def compile_score_exprs(model: dict, df_cols: set[str],
+                        prefix: str = "_os") -> tuple[list[dict], dict]:
+    """Layered compilation of the per-row winner.
+
+    Returns ``(layers, winners)``: ``layers`` is an ordered list of
+    ``{temp_col_name: Column}`` dicts to apply as successive
+    ``withColumns`` projections (encoded target values + candidate
+    masks, then one layer per tree depth of path-condition booleans,
+    then the per-target winner structs); ``winners`` maps target name
+    -> the temp column name holding its winner struct.  ``least()`` of
+    the winner columns + the worst-sentinel gives the per-row winner
+    with the reference tie-break (earlier column / earlier cluster wins
+    exact ties, as in the sequential update).
+
+    Why layers (round 6, VERDICT r05 item 4): compiled in one
+    expression, every cluster repeated its full root->node condition
+    chain and target-value encoding, and on non-trivial models the
+    single ``least(struct...)`` exceeded janino's 64 KB method limit —
+    Spark silently fell back to interpreted evaluation (~17 us per
+    candidate row, measured ~2x the Arrow path end-to-end).  Factored
+    as columns, each tree node's condition is built once from its
+    PARENT's condition column (O(1) per node instead of O(depth) per
+    cluster), and CollapseProject keeps the layers separate because
+    collapsing would duplicate multi-referenced non-cheap expressions —
+    so each projection stays small enough for whole-stage codegen.
+    Expression content is unchanged, only factored; equivalence with the
+    Arrow ``predict_batch`` path is pinned by tests/test_sql_predict.py
+    and tests/test_predict_at_scale.py."""
     levels_by_col = dict(model.get("predictor_levels") or {})
     for cm in model["columns"]:
         if cm.get("levels") is not None:
             levels_by_col.setdefault(cm["name"], cm["levels"])
+    while any(c.startswith(prefix) for c in df_cols):
+        prefix += "x"
 
     schema = model.get("schema") or {}
-    out = {}
+    val_layer: dict[str, Column] = {}
+    cond_layers: list[dict[str, Column]] = []
+    chunk_layers: list[dict[str, Column]] = []
+    win_layer: dict[str, Column] = {}
+    winners: dict[str, str] = {}
+
+    # shared encodings for numeric/timestamp PREDICTOR references: a
+    # timestamp predictor otherwise re-parses its string per condition
+    # (measured dominant in the 20M-row score plan: unix_timestamp
+    # inlined into every cluster's path conjunction)
+    pred_ref: dict[str, tuple] = {}
+
+    def numref(col):
+        if col not in pred_ref:
+            v_expr, isna_fn = _num_ref_exprs(col, schema)
+            pname = f"{prefix}_n{len(pred_ref)}"
+            val_layer[pname] = v_expr
+            ref = F.col(pname)
+            pred_ref[col] = (ref, isna_fn(ref))
+        return pred_ref[col]
+
     for col_ix, cm in enumerate(model["columns"]):
         name = cm["name"]
         if name not in df_cols or not cm["clusters"]:
             continue
         trees = cm["trees"]
-        # path condition per tree node (conjunction root -> node)
-        path_cond: list = [None] * len(trees)
-        for ix in range(1, len(trees)):
-            child = trees[ix]
-            parent_ix = child["parent"]
-            edge = _edge_condition(trees[parent_ix], child, levels_by_col, schema)
-            pc = path_cond[parent_ix]
-            path_cond[ix] = edge if pc is None else (
-                pc if edge is None else (pc & edge))
-
         if cm["kind"] == "numeric":
-            val = _target_value_expr(cm)
+            vname = f"{prefix}_v{col_ix}"
+            val_layer[vname] = _target_value_expr(cm)
+            val = F.col(vname)
             candidate = val.isNotNull() & ~F.isnan(val)
         else:
             val = qcol(name)
             candidate = val.isNotNull()
+
+        # path condition per tree node (conjunction root -> node),
+        # each node referencing its parent's CONDITION COLUMN: layer d
+        # holds the depth-(d+1) nodes, so every column only references
+        # columns from strictly earlier layers.
+        path_col: list = [None] * len(trees)   # temp col name or None
+        depth_of: list = [0] * len(trees)
+        for ix in range(1, len(trees)):
+            child = trees[ix]
+            parent_ix = child["parent"]
+            depth_of[ix] = depth_of[parent_ix] + 1
+            edge = _edge_condition(trees[parent_ix], child, levels_by_col,
+                                   schema, numref)
+            pname = path_col[parent_ix]
+            if edge is None:
+                path_col[ix] = pname
+                continue
+            cond = edge if pname is None else (F.col(pname) & edge)
+            d = depth_of[ix] - 1
+            while len(cond_layers) <= d:
+                cond_layers.append({})
+            cname = f"{prefix}_p{col_ix}_{ix}"
+            cond_layers[d][cname] = cond
+            path_col[ix] = cname
 
         structs = []
         for cl_id, cl in enumerate(cm["clusters"]):
@@ -230,17 +319,17 @@ def compile_score_exprs(model: dict, df_cols: set[str]) -> dict[str, Column]:
                 if not flagged:
                     continue
                 bound = val.isin([_lv(v) for v in flagged])
-            cond = path_cond[cl["tree"]]
-            own = _cluster_own_condition(cl, levels_by_col, schema)
+            pname = path_col[cl["tree"]]
+            own = _cluster_own_condition(cl, levels_by_col, schema, numref)
             matched = candidate & bound
-            if cond is not None:
-                matched = matched & cond
+            if pname is not None:
+                matched = matched & F.col(pname)
             if own is not None:
                 matched = matched & own
             cand = F.struct(
-                F.lit(1 if cl["has_NA_branch"] else 0).alias("nab"),
-                F.lit(int(cl["depth"])).alias("depth"),
-                F.lit(-int(cl["cluster_size"])).alias("neg_size"),
+                F.lit(_pack_rank(1 if cl["has_NA_branch"] else 0,
+                                 int(cl["depth"]),
+                                 -int(cl["cluster_size"]))).alias("rank"),
                 _score_expr(cm, cl, val).alias("score"),
                 F.lit(col_ix).alias("col_ix"),
                 F.lit(cl_id).alias("cluster_id"),
@@ -248,17 +337,46 @@ def compile_score_exprs(model: dict, df_cols: set[str]) -> dict[str, Column]:
             structs.append(F.when(matched, cand))
         if not structs:
             continue
+        # chunked partial winners: least() over at most _CHUNK cluster
+        # structs per column, each chunk in its OWN layer (score_sql
+        # separates layers with a stage break), so no single generated
+        # method carries more than a chunk's worth of cluster code.
+        # least() ignores NULL (unmatched) entries, so
+        # least(least(chunk1), ..., worst) == least(all, worst) exactly.
+        chunk_cols = []
+        for j in range(0, len(structs), _CHUNK):
+            chunk = structs[j:j + _CHUNK]
+            cexpr = F.least(*chunk) if len(chunk) > 1 else chunk[0]
+            cname = f"{prefix}_wc{col_ix}_{j // _CHUNK}"
+            chunk_layers.append({cname: cexpr})
+            chunk_cols.append(F.col(cname))
         worst = _worst_struct(col_ix)
-        best = F.least(*structs, worst) if len(structs) > 1 else \
-            F.coalesce(structs[0], worst)
-        out[name] = best
-    return out
+        best = (F.least(*chunk_cols, worst) if len(chunk_cols) > 1
+                else F.coalesce(chunk_cols[0], worst))
+        wname = f"{prefix}_w{col_ix}"
+        win_layer[wname] = best
+        winners[name] = wname
+    layers = ([val_layer] if val_layer else []) + \
+        [d for d in cond_layers if d] + chunk_layers + \
+        ([win_layer] if win_layer else [])
+    return layers, winners
+
+
+def _pack_rank(nab: int, depth: int, neg_size: int) -> int:
+    """Pack the three constant tie-break fields into ONE long literal,
+    order-equivalent to comparing (nab, depth, neg_size) lexically:
+    nab in {0,1}; depth < 16384 (max_depth <= a few, sentinel 9999);
+    neg_size = -cluster_size in (-2^31, 0] shifted non-negative.  The
+    winner struct then carries 4 fields instead of 6, roughly halving
+    the struct-comparison code in the generated least() chain (round 6,
+    janino method-size budget; see compile_score_exprs)."""
+    assert 0 <= nab <= 1 and 0 <= depth < 16384 and -(2 ** 31) < neg_size <= 0
+    return (nab * 16384 + depth) * (2 ** 32) + (neg_size + 2 ** 31)
 
 
 def _worst_struct(col_ix: int = -1) -> Column:
-    return F.struct(F.lit(_WORST[0]).alias("nab"),
-                    F.lit(_WORST[1]).alias("depth"),
-                    F.lit(_WORST[2]).alias("neg_size"),
+    return F.struct(F.lit(_pack_rank(_WORST[0], _WORST[1],
+                                     _WORST[2])).alias("rank"),
                     F.lit(_WORST[3]).alias("score"),
                     F.lit(2 ** 30).alias("col_ix"),
                     F.lit(-1).alias("cluster_id"))
@@ -276,8 +394,8 @@ def score_sql(model: dict, df: DataFrame,
     id_cols = id_cols or []
     keep_cols = [c for c in (keep_cols or [])
                  if c in df.columns and c not in id_cols]
-    exprs = compile_score_exprs(model, set(df.columns))
-    if not exprs:
+    layers, winners = compile_score_exprs(model, set(df.columns))
+    if not winners:
         empty = df.select(*[qcol(c) for c in id_cols],
                           *[qcol(c) for c in keep_cols]).limit(0)
         return (empty.withColumn("suspicious_column", F.lit(""))
@@ -285,22 +403,49 @@ def score_sql(model: dict, df: DataFrame,
                 .withColumn("tree_depth", F.lit(0))
                 .withColumn("uses_NA_branch", F.lit(False))
                 .withColumn("cluster_id", F.lit(-1)))
-    names = list(exprs)
-    per_col = list(exprs.values())
+    per_col = [F.col(w) for w in winners.values()]
     overall = (F.least(*per_col, _worst_struct())
                if len(per_col) > 1 else per_col[0])
-    sel = df.select(*[qcol(c) for c in id_cols],
-                    *[qcol(c) for c in keep_cols],
-                    overall.alias("_b"))
-    flagged = sel.filter(F.col("_b.cluster_id") >= 0)
+    # Stage break (round 6): a partition-preserving no-op Coalesce
+    # (numPartitions larger than any real partition count) ends the
+    # scan/prefilter whole-stage-codegen span here.  Two effects, both
+    # measured on the 20M-row bench model: (1) the scan+prefilter stage
+    # compiles on its own — before, the winner chain fused into the
+    # scan stage's single generated method, janino rejected it, and the
+    # WHOLE 20M-row pipeline fell back to interpreted evaluation;
+    # (2) downstream of the break the input is row-based (INPUT_ROW),
+    # which is the one regime where Spark can auto-split oversized
+    # projection code into sub-methods (splitExpressionsWithCurrentInputs
+    # needs a row variable), so the factored winner layers compile too.
+    sel = df.coalesce(1 << 30)
+    for layer in layers:
+        sel = sel.withColumns(layer).coalesce(1 << 30)
+    sel = sel.select(*[qcol(c) for c in id_cols],
+                     *[qcol(c) for c in keep_cols],
+                     overall.alias("_b"))
+    # determinism gate on the flag filter: a plain filter would be
+    # pushed through every Coalesce/Project (pushdown substitutes the
+    # aliases), re-inlining the full winner chain into the scan stage —
+    # exactly the giant-method regression the stage breaks exist to
+    # prevent.  The (rand()+1) > 2.5 term is always false (rand() is in
+    # [0,1)), so the predicate's VALUE is deterministic; its
+    # non-determinism marker only pins the filter above the _b
+    # projection.  The arithmetic form matters: Spark 4's optimizer
+    # folds DIRECT rand() range comparisons (a bare rand(s) > 2.0 gate
+    # vanished and the filter pushed again, observed on the 20M bench
+    # plan), and monotonically_increasing_id() is rejected in streaming
+    # plans, which predict_at_scale supports.
+    flagged = sel.filter((F.col("_b.cluster_id") >= 0)
+                         | ((F.rand(42) + F.lit(1.0)) > F.lit(2.5)))
     name_ix = {i: cm["name"] for i, cm in enumerate(model["columns"])}
     col_name = F.lit("")
     for ix, nm in name_ix.items():
         col_name = F.when(F.col("_b.col_ix") == ix, F.lit(nm)).otherwise(col_name)
+    hi = F.shiftright(F.col("_b.rank"), 32)
     return flagged.select(
         *[qcol(c) for c in id_cols], *[qcol(c) for c in keep_cols],
         col_name.alias("suspicious_column"),
         F.col("_b.score").alias("outlier_score"),
-        F.col("_b.depth").cast("long").alias("tree_depth"),
-        (F.col("_b.nab") == 1).alias("uses_NA_branch"),
+        hi.bitwiseAND(F.lit(16383)).cast("long").alias("tree_depth"),
+        (hi >= 16384).alias("uses_NA_branch"),
         F.col("_b.cluster_id").alias("cluster_id"))

@@ -142,3 +142,30 @@ def test_precounted_tokens_column(spark):
     d = _df(spark).withColumn("n", F.lit(5))
     got = pack_sequences(d, CTX, SHARDS, token_count_col="n").collect()
     assert len(got) == 62 and all(r.n_tok == 5 for r in got)
+
+
+def test_md5_60_full_magnitude_parity(spark):
+    """VERDICT r05 probe (b): the md5_60 hash is consumed at FULL 60-bit
+    magnitude only by packing (sampling reduces it mod 1e6), so a
+    high-bit divergence between Spark's conv(substr(md5),16,10) and
+    DuckDB's CAST('0x'||... AS BIGINT) would surface only here.  Pin
+    bit-exact equality over a wide id domain (small, large, 2^31/2^53
+    boundary ids)."""
+    import duckdb
+    ids = ([0, 1, 7, 42] + [2**31 - 1, 2**31, 2**40 + 12345]
+           + [2**53 - 1, 10**15 + 7] + list(range(100000, 100200)))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = dict(df.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                          F.lit("pack"))), 1, 15), 16, 10)
+        .cast("long").alias("h")).collect())
+    pdf = df.toPandas()
+    want = dict(duckdb.connect().execute("""
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'),
+                                   1, 15) AS BIGINT) AS h
+        FROM pdf
+    """).fetchall())
+    assert got == want
+    assert max(got.values()).bit_length() == 60  # full magnitude exercised
