@@ -20,16 +20,33 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 EN_STOP = ["the", "and", "of", "to", "is"]
 
 
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+# Lazy reader-handle memo, keyed on the live SparkSession OBJECT plus
+# path: ``spark.read.parquet`` re-resolves the schema (a parquet footer
+# read + file listing py4j round trips, measured 84ms warm) on every
+# call, and the suite opens the same handful of tables ~60 times.  The
+# cached object is a LAZY DataFrame — no rows are read or computed at
+# memo time, every execution still scans the parquet files — so this is
+# the moral equivalent of a metastore's table resolution, not result
+# caching.  Keyed on id(spark) with the session kept alive in the value
+# (prevents id reuse after GC); a stopped session's entries are inert.
+_READ_MEMO: dict = {}
 
 
 def _tbl(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), f"{sf_dir}/{name}.parquet")
+    hit = _READ_MEMO.get(key)
+    if hit is None or hit[0] is not spark:
+        hit = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _READ_MEMO[key] = hit
+    return hit[1]
+
+
+def _docs(spark, sf_dir):
+    return _tbl(spark, sf_dir, "documents")
+
+
+def _events(spark, sf_dir):
+    return _tbl(spark, sf_dir, "events")
 
 
 # ----------------------------------------------------------------------

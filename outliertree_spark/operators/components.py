@@ -68,17 +68,35 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     so downstream joins against it hash-join without shuffling the
     other side even under the static planner.
     Measured (round 5, sf0.1 dedup_clusters end-to-end, interleaved
-    minima of 4): 2.46s distributed loop -> 2.06s fast path."""
+    minima of 4): 2.46s distributed loop -> 2.06s fast path.
+
+    Round 6: the fast path probes the RAW pair list (one CollectLimit
+    job over one evaluation of the caller's — possibly expensive —
+    edge subplan) and symmetrizes/dedups driver-side in the union-find
+    itself, instead of materializing the symmetrized-distinct table
+    first: the old shape ran union(select, select) over the unverified
+    pairs plan, which evaluates that subplan TWICE inside the eager
+    checkpoint job, plus a distinct exchange and the checkpoint write,
+    before the probe could even run.  The distributed fallback (probe
+    overflows) builds the symmetrized table as before, from a
+    checkpointed copy of the pairs so the verify subplan still runs
+    once.  Same cap discipline: the driver never holds more than
+    cap+1 narrow pair rows (the symmetrized parent dict is bounded by
+    2 entries per collected pair, same bound as before)."""
+    if local_edges_cap:
+        probe = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                      .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+                      .limit(local_edges_cap + 1))
+        head = probe.collect()
+        if len(head) <= local_edges_cap:
+            return _local_components(edges.sparkSession, head, probe.schema)
+        edges = edges.localCheckpoint(eager=False)
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
               .union(edges.select(F.col(dst).alias("u"),
                                   F.col(src).alias("v")))
               .where(F.col("u").isNotNull() & F.col("v").isNotNull())
               .distinct()
               .localCheckpoint(eager=True))
-    if local_edges_cap:
-        head = e.limit(local_edges_cap + 1).collect()
-        if len(head) <= local_edges_cap:
-            return _local_components(edges.sparkSession, head, e.schema)
     labels = (e.select(F.col("u").alias("id"))
                .distinct()
                .withColumn("component", F.col("id")))
