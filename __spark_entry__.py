@@ -537,7 +537,11 @@ def q_training_pipeline(spark, sf_dir):
         collect_boilerplate, remove_boilerplate)
     from outliertree_spark.operators.sampling import stratified_sample
     from outliertree_spark.operators.scrub import scrub_pii
-    d = _lined_docs(_docs(spark, sf_dir))
+    # materialize the derived line fixture once (round 6): the eager
+    # boilerplate collect and the main clean->scrub->dedup plan each
+    # re-ran the HOF re-chunking otherwise — the same checkpoint
+    # q_paragraph_dedup already carries.
+    d = _lined_docs(_docs(spark, sf_dir)).localCheckpoint(eager=False)
     boiler = collect_boilerplate(d, min_docs=3, max_lines=100)
     cleaned = remove_boilerplate(d, boiler)
     scrubbed = cleaned.select("doc_id", "lang",
@@ -1023,7 +1027,10 @@ def q_outlier_validate_root(spark, sf_dir):
     differential parity with the compiled reference core."""
     from outliertree_spark import SparkOutlierTree, ValidationConfig
 
-    df = _root_frame(spark, sf_dir)
+    # materialize the derived fixture once: fit reads it twice (count +
+    # toPandas) and predict a third time — the flagship's checkpoint
+    # rule (round 6).
+    df = _root_frame(spark, sf_dir).localCheckpoint(eager=False)
     eng = SparkOutlierTree(ValidationConfig(max_depth=0))
     eng.fit(df, id_cols=["doc_id"])
     rows = []
@@ -1161,10 +1168,21 @@ def q_ann_topk_recall(spark, sf_dir):
                                                         lsh_topk)
     emb = _tbl(spark, sf_dir, "embeddings")
     as_double = F.transform("embedding", lambda x: x.cast("double"))
-    embd = emb.select("vec_id", as_double.alias("embedding"))
+    # materialize the cast corpus once (round 6): the three ANN paths +
+    # the query slice reference it ~7 times, and each reference re-ran
+    # the interpreted cast-transform over every vector.  A real corpus
+    # stores doubles and this is a no-op re-scan — the flagship's
+    # fixture-checkpoint precedent.
+    embd = (emb.select("vec_id", as_double.alias("embedding"))
+               .localCheckpoint(eager=False))
     q = (embd.filter(F.col("vec_id") < 20)
              .select(F.col("vec_id").alias("query_id"), "embedding"))
     k = 10
+    # NOT checkpointed although referenced three times (recall join x2 +
+    # top1 slice): the brute window sits on one exchange that Spark
+    # already dedups across references (ReusedExchange), so a cut only
+    # adds a materialization barrier — measured 1.40s -> 1.69s WORSE
+    # (round-6 interleaved A/B).
     ex = brute_force_topk(embd, q, k=k)
     lsh = lsh_topk(embd, q, k=k, n_tables=16, n_planes=4)
     ivf = ivf_topk(embd, q, k=k, k_cells=32, nprobe=8)
@@ -1208,7 +1226,11 @@ def q_semdedup(spark, sf_dir):
     epsilon-pair on the planted fixture (same recall regime the
     ivf_recall gate pins)."""
     from outliertree_spark.operators.semdedup import semdedup_removed
-    p = _planted_embeddings(spark, sf_dir)
+    # materialize the planted/cast fixture once (round 6): the centroid
+    # probe, the Arrow cell-assignment pass, and the two re-rank join
+    # sides otherwise each re-run the union + per-element cast chain
+    # (4 evaluations).  A real corpus is a stored table of doubles.
+    p = _planted_embeddings(spark, sf_dir).localCheckpoint(eager=False)
     return semdedup_removed(p, eps=0.8, k_cells=32, n_assign=2)
 
 

@@ -247,12 +247,16 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
                   k_shingle: int = 3) -> DataFrame:
     """Exact Jaccard similarity over word shingles for candidate pairs
     (the verify stage after LSH)."""
-    # the pairs plan is referenced three times below (ids x2 + join);
-    # materialize it once -- candidate pairs are small by construction
+    # the pairs plan is referenced twice below (ids + join); materialize
+    # it once -- candidate pairs are small by construction
     df_pairs = df_pairs.localCheckpoint(eager=False)
-    # only docs that appear in a candidate pair need their shingles
-    ids = (df_pairs.select(F.col("id_a").alias(id_col))
-           .union(df_pairs.select(F.col("id_b").alias(id_col))).distinct())
+    # only docs that appear in a candidate pair need their shingles.
+    # ONE reference via explode(array(id_a, id_b)) instead of the union
+    # of two selects: the union shape read the checkpointed table twice
+    # and unioned before the distinct — measured 1.36s -> 1.15s on
+    # minhash_dups end-to-end (round-6 interleaved minima, rows equal).
+    ids = (df_pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+           .distinct())
     docs = docs.join(F.broadcast(ids), id_col, "left_semi")
     # hashed shingle sets: Jaccard over ID sets equals Jaccard over the
     # string sets absent collisions (see shingle_hash_array bound)
