@@ -59,11 +59,21 @@ def test_cc_fast_path_equals_distributed(spark):
     dist = {(r["id"], r["component"])
             for r in connected_components(e, local_edges_cap=0).collect()}
     assert fast == dist
-    # over-cap probe falls back to the distributed loop (cap counts
-    # SYMMETRIZED rows: 9 pairs -> 18)
+    # over-cap probe falls back to the distributed loop (round 6: the
+    # cap now bounds the RAW pair probe, so 9 pairs overflow a cap of 8)
     over = {(r["id"], r["component"])
-            for r in connected_components(e, local_edges_cap=17).collect()}
+            for r in connected_components(e, local_edges_cap=8).collect()}
     assert over == dist
+    # raw-pair probe at exactly the cap takes the fast path and agrees
+    at_cap = {(r["id"], r["component"])
+              for r in connected_components(e, local_edges_cap=9).collect()}
+    assert at_cap == dist
+    # duplicate pair rows count against the raw probe but cannot change
+    # the labels on either path
+    dup = e.union(e)
+    got_dup = {(r["id"], r["component"])
+               for r in connected_components(dup).collect()}
+    assert got_dup == dist
 
 
 def test_cc_null_endpoints_dropped_both_paths(spark):
