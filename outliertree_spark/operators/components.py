@@ -70,31 +70,33 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     Measured (round 5, sf0.1 dedup_clusters end-to-end, interleaved
     minima of 4): 2.46s distributed loop -> 2.06s fast path.
 
-    Round 6: the fast path probes the RAW pair list (one CollectLimit
-    job over one evaluation of the caller's — possibly expensive —
-    edge subplan) and symmetrizes/dedups driver-side in the union-find
-    itself, instead of materializing the symmetrized-distinct table
-    first: the old shape ran union(select, select) over the unverified
-    pairs plan, which evaluates that subplan TWICE inside the eager
-    checkpoint job, plus a distinct exchange and the checkpoint write,
-    before the probe could even run.  The distributed fallback (probe
-    overflows) builds the symmetrized table as before, from a
-    checkpointed copy of the pairs so the verify subplan still runs
-    once.  Same cap discipline: the driver never holds more than
+    Round 6: the fast path probes the RAW pair list (CollectLimit over
+    the null-filtered pair projection) and symmetrizes/dedups
+    driver-side in the union-find itself, instead of materializing the
+    symmetrized-distinct table first: the old shape ran
+    union(select, select) over the unverified pairs plan, which
+    evaluates that subplan TWICE inside the eager checkpoint job, plus
+    a distinct exchange and the checkpoint write, before the probe
+    could even run.  The pair projection is lazily checkpointed BEFORE
+    the probe, so partitions the probe computes are retained and the
+    distributed fallback (probe overflow) reads the same
+    materialization instead of re-running the caller's — possibly
+    expensive — verify subplan: measured on a 20x duplicate-heavy
+    fixture whose ~950k verified pairs overflow the cap, the un-ckpt'd
+    probe variant cost ~+20% end-to-end (probe evaluation thrown away),
+    while on the under-cap sf0.1 graph the ckpt adds only its toRdd
+    build cost.  Same cap discipline: the driver never holds more than
     cap+1 narrow pair rows (the symmetrized parent dict is bounded by
     2 entries per collected pair, same bound as before)."""
+    pairs = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+                  .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+                  .localCheckpoint(eager=False))
     if local_edges_cap:
-        probe = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-                      .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-                      .limit(local_edges_cap + 1))
-        head = probe.collect()
+        head = pairs.limit(local_edges_cap + 1).collect()
         if len(head) <= local_edges_cap:
-            return _local_components(edges.sparkSession, head, probe.schema)
-        edges = edges.localCheckpoint(eager=False)
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-              .union(edges.select(F.col(dst).alias("u"),
-                                  F.col(src).alias("v")))
-              .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+            return _local_components(edges.sparkSession, head, pairs.schema)
+    e = (pairs.union(pairs.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
               .distinct()
               .localCheckpoint(eager=True))
     labels = (e.select(F.col("u").alias("id"))
