@@ -1040,8 +1040,9 @@ def q_outlier_validate_root(spark, sf_dir):
         cl = cm["clusters"][0]
         off = float(cm["ts_min"]) if cm.get("is_ts") else 0.0
         rows.append((cm["name"], cl["lower_lim"] + off, cl["upper_lim"] + off))
-    dim = spark.createDataFrame(
-        rows, "suspicious_column string, lo double, hi double")
+    from outliertree_spark.localrel import local_df
+    dim = local_df(spark, rows,
+                   "suspicious_column string, lo double, hi double")
     pv = eng.predict(df, id_cols=["doc_id"])
     return (pv.join(F.broadcast(dim), "suspicious_column", "left")
               .select("doc_id", "suspicious_column",

@@ -433,7 +433,8 @@ class SparkOutlierTree:
                   "expl_hi string, expl_lo string, gs_hi string, "
                   "gs_lo string, conditions string, "
                   "cond_cols array<string>")
-        return spark.createDataFrame(rows, schema)
+        from .localrel import local_df
+        return local_df(spark, rows, schema)
 
     def _display_expr(self, name: str, min_decimals: int = 2):
         """Formatted display string for a model column's value (JVM-side

@@ -164,13 +164,18 @@ def _local_components(spark, edge_rows, edge_schema) -> DataFrame:
     vt = edge_schema["u"].dataType
     schema = T.StructType([T.StructField("id", vt, False),
                            T.StructField("component", vt, False)])
-    # explicit hint: the local result is RDD-backed (Scan ExistingRDD)
-    # with unknown stats, so the static planner would otherwise drag it
-    # through a SortMergeJoin exchange; it is bounded and tiny by
-    # construction, so force the broadcast side here once for every
-    # downstream join.  (Consumers that never join it get a benign
-    # one-line HintErrorLogger WARN about the unused hint.)
-    return F.broadcast(spark.createDataFrame(out, schema))
+    # Arrow-backed local relation (localrel.local_df): the plain
+    # createDataFrame path pickles the rows into a Python RDD whose
+    # every execution runs the non-Arrow Python worker lane — the first
+    # such execution in a session paid ~1.7s of lane spin-up (measured:
+    # dedup_clusters noop exec1 2.04s vs exec2 0.37s at sf0.1).  As a
+    # LocalTableScan the result is pure JVM at execution time.
+    # explicit hint: it is bounded and tiny by construction, so force
+    # the broadcast side once for every downstream join.  (Consumers
+    # that never join it get a benign one-line HintErrorLogger WARN
+    # about the unused hint.)
+    from ..localrel import local_df
+    return F.broadcast(local_df(spark, out, schema))
 
 
 def near_dup_components(docs: DataFrame, id_col: str = "doc_id",

@@ -121,8 +121,9 @@ def mix_rates(df: DataFrame, group_col: str,
     engine reproduces ``mix_rate`` bit-for-bit (the oracle property)."""
     assert shares and all(s > 0 for s in shares.values())
     spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        sorted(shares.items()), f"{group_col} string, share double")
+    from ..localrel import local_df
+    tgt = local_df(spark, sorted(shares.items()),
+                   f"{group_col} string, share double")
     observed = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
     # tgt-side outer: a requested group missing from the corpus must
     # surface as cnt=0 (scale 0, empty resample), not silently vanish
@@ -187,8 +188,9 @@ def mix_weights(df: DataFrame, group_col: str,
     assert shares and all(s > 0 for s in shares.values())
     spark = df.sparkSession
     share_sum = float(sum(shares.values()))
-    tgt = spark.createDataFrame(
-        sorted(shares.items()), f"{group_col} string, share double")
+    from ..localrel import local_df
+    tgt = local_df(spark, sorted(shares.items()),
+                   f"{group_col} string, share double")
     observed = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
     counts = (tgt.join(F.broadcast(observed), group_col, "left")
                  .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long"))))

@@ -207,9 +207,9 @@ def url_blocklist_filter(df: DataFrame, hosts: list[str] | None = None,
     cond = F.lit(False)
     if hosts:
         spark = df.sparkSession
-        dim = spark.createDataFrame(
-            [(h.lower(),) for h in sorted(set(hosts))],
-            "blocked_host string")
+        from ..localrel import local_df
+        dim = local_df(spark, [(h.lower(),) for h in sorted(set(hosts))],
+                       "blocked_host string")
         # normalize before suffix matching: extract the FULL authority
         # (url_host's port-stripping regex stops at the ':' inside
         # "u:pw@host" userinfo), then strip userinfo, port, and

@@ -306,7 +306,8 @@ def _per_partition_psi(df: DataFrame, baseline: DataFrame, partition_col: str,
     spark = df.sparkSession
     miss_lookup = [(b, float((eps - q) * math.log(eps / q)))
                    for b, q in bq.items()]
-    miss_df = spark.createDataFrame(miss_lookup, ["_psi_bucket", "miss_term"])
+    from .localrel import local_df
+    miss_df = local_df(spark, miss_lookup, ["_psi_bucket", "miss_term"])
 
     exploded = (seen.select(partition_col, "psi_seen",
                             F.explode_outer("_seen").alias("_psi_bucket")))
