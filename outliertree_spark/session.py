@@ -43,6 +43,16 @@ def _warm_engine(spark: SparkSession) -> None:
     if app in _WARMED:
         return
     _WARMED.add(app)
+    try:
+        _warm_engine_inner(spark)
+    except Exception:
+        # best-effort: a warm-up failure (full temp dir, exotic master)
+        # must never take down session creation — the engine is correct
+        # without it, just cold
+        pass
+
+
+def _warm_engine_inner(spark: SparkSession) -> None:
     from pyspark.sql import Window, functions as F
 
     def _noop(df):
